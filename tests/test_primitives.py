@@ -1,0 +1,90 @@
+import numpy as np
+import jax.numpy as jnp
+
+from world_tpu.ops import common, fftpack, matlab, rng
+
+
+def test_rfft_convention(gold):
+    x = np.sin(np.arange(64) * 0.3) + 0.02 * np.arange(64)
+    sp = np.asarray(fftpack.rfft(jnp.asarray(x)))
+    np.testing.assert_allclose(sp.real, gold["rfft64_re"], atol=1e-12)
+    np.testing.assert_allclose(sp.imag, gold["rfft64_im"], atol=1e-12)
+
+
+def test_irfft_convention(gold):
+    i = np.arange(33)
+    spec = np.cos(i * 0.2) + 1j * (np.sin(i * 0.41) * 0.5)
+    out = np.asarray(fftpack.irfft_unnormalized(jnp.asarray(spec), 64))
+    np.testing.assert_allclose(out, gold["irfft64_out"], atol=1e-12)
+
+
+def test_nuttall(gold):
+    np.testing.assert_allclose(
+        np.asarray(common.nuttall_window(64)), gold["nuttall_64"], atol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(common.nuttall_window(257)), gold["nuttall_257"],
+        atol=1e-13)
+
+
+def test_interp1(gold):
+    n = 10
+    xs = np.arange(n, dtype=float)
+    ys = np.sin(np.arange(n) * 0.7) + 0.1 * np.arange(n)
+    xi = -1.0 + np.arange(200) * (11.5 / 199)
+    out = np.asarray(matlab.interp1(jnp.asarray(xs), jnp.asarray(ys),
+                                    jnp.asarray(xi)))
+    np.testing.assert_allclose(out, gold["interp1_out"], atol=1e-12)
+
+
+def test_interp1q(gold):
+    ys = np.sin(np.arange(10) * 0.7) + 0.1 * np.arange(10)
+    xi = np.arange(200) * (4.99 / 199)
+    out = np.asarray(matlab.interp1q(0.0, 0.5, jnp.asarray(ys),
+                                     jnp.asarray(xi)))
+    np.testing.assert_allclose(out, gold["interp1Q_out"], atol=1e-12)
+
+
+def test_decimate(gold):
+    x = gold["x"][:2000]
+    for r in range(2, 13):
+        out = np.asarray(matlab.decimate(jnp.asarray(x), r))
+        ref = gold[f"decimate_r{r}"]
+        np.testing.assert_allclose(out, ref, atol=1e-12, err_msg=f"r={r}")
+
+
+def test_dc_correction(gold):
+    fs = gold.scalar("fs")
+    spec = gold["spec_in"]
+    out = np.asarray(common.dc_correction(jnp.asarray(spec), jnp.asarray(160.0),
+                                          fs, 1024))
+    np.testing.assert_allclose(out, gold["dccorr_out"], rtol=1e-12)
+
+
+def test_linear_smoothing(gold):
+    fs = gold.scalar("fs")
+    spec = gold["spec_in"]
+    width = 160.0 * 2.0 / 3.0
+    b_max = int(width * 1024 / fs) + 1 + 7  # deliberately larger than C++
+    out = np.asarray(common.linear_smoothing(
+        jnp.asarray(spec), jnp.asarray(width), fs, 1024, b_max))
+    np.testing.assert_allclose(out, gold["linsmooth_out"], rtol=1e-10)
+
+
+def test_minimum_phase(gold):
+    logspec = gold["minphase_logspec_in"]
+    mp = np.asarray(common.minimum_phase_spectrum(jnp.asarray(logspec), 512))
+    np.testing.assert_allclose(mp.real, gold["minphase_re"], atol=1e-12)
+    np.testing.assert_allclose(mp.imag, gold["minphase_im"], atol=1e-12)
+
+
+def test_randn_sequence(gold):
+    draws = np.asarray(rng.randn_sequence(1024))
+    np.testing.assert_allclose(draws, gold["randn_1024"], atol=0)
+
+
+def test_randn_jump_matches_sequence(gold):
+    # Jump straight to draw 1000 and check the next 24 draws line up.
+    draws = np.asarray(rng.randn_blocks_at(jnp.asarray([0, 1000]), 24))
+    ref = gold["randn_1024"]
+    np.testing.assert_allclose(draws[0], ref[:24], atol=0)
+    np.testing.assert_allclose(draws[1], ref[1000:1024], atol=0)

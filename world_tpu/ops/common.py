@@ -1,0 +1,126 @@
+"""Shared DSP blocks: windows, spectral smoothing, minimum phase.
+
+Fixed-shape, vmappable re-implementations of the reference's common.cpp.
+Where the C++ allocates arrays whose length depends on runtime values
+(e.g. LinearSmoothing's mirror boundary), we use a static maximum extent;
+the result is provably identical because only integral *differences* are
+consumed (see linear_smoothing below).
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import fftpack
+from .matlab import interp1q
+
+PI = 3.1415926535897932384
+EPS = 2.2204460492503131e-16
+SAFE_GUARD_MINIMUM = 1e-12
+
+
+def get_suitable_fft_size(n):
+    """Next power of two (reference src/common.cpp:51-54)."""
+    return int(2 ** (int(math.log(n) / math.log(2.0)) + 1))
+
+
+def nuttall_window(n, total=None, dtype=jnp.float64):
+    """Nuttall window of length n (src/common.cpp:113-121).
+
+    If ``total`` is given the result is zero-padded to that length.
+    ``n`` may be a static python int; for traced lengths use
+    nuttall_window_masked.
+    """
+    i = jnp.arange(n if total is None else total, dtype=dtype)
+    t = i / (n - 1.0)
+    w = (0.355768 - 0.487396 * jnp.cos(2 * PI * t)
+         + 0.144232 * jnp.cos(4 * PI * t) - 0.012604 * jnp.cos(6 * PI * t))
+    if total is not None:
+        w = jnp.where(i < n, w, 0.0)
+    return w
+
+
+def nuttall_window_masked(n, total, dtype=jnp.float64):
+    """Nuttall window with traced length ``n``, padded to static ``total``."""
+    i = jnp.arange(total, dtype=dtype)
+    t = i / (n - 1.0)
+    w = (0.355768 - 0.487396 * jnp.cos(2 * PI * t)
+         + 0.144232 * jnp.cos(4 * PI * t) - 0.012604 * jnp.cos(6 * PI * t))
+    return jnp.where(i < n, w, 0.0)
+
+
+def dc_correction(spectrum, f0, fs, fft_size, max_f0=None):
+    """Mirror the spectrum below f0 back onto the 0..f0 band
+    (src/common.cpp:56-75).  ``spectrum`` has fft_size//2+1 bins.
+
+    The C++ builds a variable-length replica (upper_limit depends on f0);
+    here we compute the replica over a static prefix and mask.
+    """
+    nbins = fft_size // 2 + 1
+    dtype = spectrum.dtype
+    delta = jnp.asarray(fs, dtype) / fft_size
+    upper_limit = 2 + (f0 * fft_size / fs).astype(jnp.int32)
+    k = jnp.arange(nbins, dtype=dtype)
+    # interp1Q(f0, -delta, input, ...) at queries k*delta, i.e. sample the
+    # spectrum on the *descending* axis starting at f0.
+    replica = interp1q(f0, -delta, spectrum, k * delta)
+    mask = jnp.arange(nbins) < (upper_limit - 1)
+    return jnp.where(mask, spectrum + replica, spectrum)
+
+
+def _mirror_extend(spectrum, half, b_max):
+    """Spectrum on positions p = -b_max .. half+b_max by edge reflection
+    (reference src/common.cpp:27-46).  mirror(p) = S[|p|] for p<=0 (no repeat
+    of bin 0's neighbourhood beyond reflection), S[p] inside, S[2*half-p]
+    above."""
+    p = np.arange(-b_max, half + b_max + 1)
+    idx = np.abs(p)
+    idx = np.where(idx > half, 2 * half - idx, idx)
+    return spectrum[..., idx]
+
+
+def linear_smoothing(spectrum, width, fs, fft_size, b_max):
+    """Rectangular smoothing of width ``width`` Hz (src/common.cpp:77-111).
+
+    The C++ uses boundary = int(width*fft/fs)+1 and a mirror of that size;
+    we mirror with a static ``b_max`` >= any runtime boundary.  Because the
+    output is (high-low)/width of a cumulative integral, the extra constant
+    prefix cancels and results match the reference bit-for-bit in spirit
+    (and to <1e-12 numerically — golden-tested).
+
+    ``width`` may be a traced scalar (per-frame).  b_max must satisfy
+    b_max >= int(width*fft_size/fs) + 1 for every width used.
+    """
+    half = fft_size // 2
+    dtype = spectrum.dtype
+    delta = jnp.asarray(fs, dtype) / fft_size
+    mirrored = _mirror_extend(spectrum, half, b_max)
+    segment = jnp.cumsum(mirrored * delta, axis=-1)
+    origin = -(b_max - 0.5) * delta
+    freq = jnp.arange(half + 1, dtype=dtype) * delta
+    low = interp1q(origin, delta, segment, freq - width / 2.0)
+    high = interp1q(origin, delta, segment, freq + width / 2.0)
+    return (high - low) / width
+
+
+def minimum_phase_spectrum(log_spectrum, fft_size):
+    """Minimum-phase spectrum from a half log-power spectrum
+    (src/common.cpp:182-220): mirror -> cepstrum -> fold -> FFT -> exp.
+
+    log_spectrum: (..., fft_size//2+1) real.  Returns complex
+    (..., fft_size//2+1).
+    """
+    half = fft_size // 2
+    mirrored = jnp.concatenate(
+        [log_spectrum, log_spectrum[..., half - 1:0:-1]], axis=-1)
+    cep = jnp.fft.rfft(mirrored, axis=-1)
+    k = jnp.arange(half + 1)
+    scale = jnp.where((k > 0) & (k < half), 2.0, 1.0)
+    folded_half = cep * scale
+    folded = jnp.concatenate(
+        [folded_half,
+         jnp.zeros(folded_half.shape[:-1] + (fft_size - half - 1,),
+                   folded_half.dtype)], axis=-1)
+    spec = jnp.fft.fft(folded, axis=-1)[..., : half + 1] / fft_size
+    return jnp.exp(spec.real) * jnp.exp(1j * spec.imag)

@@ -1,0 +1,146 @@
+"""MATLAB-compatible numeric primitives (JAX).
+
+Re-implements the semantics of the reference's matlabfunctions
+(reference: src/matlabfunctions.cpp) in array form so every consumer can be
+vmapped/jitted.  Edge-case behavior (histc boundary handling, interp1Q
+truncation, decimate's reflected edges) is matched exactly — golden tests
+in tests/test_primitives.py compare against vectors dumped from the C++.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def matlab_round(x):
+    """Round half away from zero, like the reference's matlab_round
+    (src/matlabfunctions.cpp:206-208).  Returns an integer-valued array."""
+    return jnp.trunc(x + jnp.where(x > 0, 0.5, -0.5)).astype(jnp.int32)
+
+
+def fftshift(x):
+    """Swap halves (src/matlabfunctions.cpp:129-134); even length only."""
+    n = x.shape[-1]
+    return jnp.concatenate([x[..., n // 2:], x[..., : n // 2]], axis=-1)
+
+
+def interp1(x, y, xi, n_valid=None):
+    """Linear interpolation with MATLAB histc semantics
+    (src/matlabfunctions.cpp:136-176).
+
+    ``x`` must be ascending.  Queries outside the grid extrapolate using the
+    first/last segment.  ``n_valid`` optionally marks how many leading
+    entries of ``x``/``y`` are real data (the rest is padding); padding
+    entries of ``x`` must be +inf so searchsorted ignores them.
+
+    1-D in, 1-D out; vmap for batches.
+    """
+    k = jnp.searchsorted(x, xi, side="right")
+    hi = (x.shape[0] if n_valid is None else n_valid) - 1
+    k = jnp.clip(k, 1, hi)
+    x0 = x[k - 1]
+    h = x[k] - x0
+    s = (xi - x0) / h
+    y0 = y[k - 1]
+    return y0 + s * (y[k] - y0)
+
+
+def interp1q(x0, shift, y, xi, n_valid=None):
+    """Uniform-grid linear interpolation (src/matlabfunctions.cpp:214-235).
+
+    ``x0`` is the coordinate of y[0]; ``shift`` the grid step (may be
+    negative).  Index is computed by C truncation toward zero, and the last
+    valid sample extrapolates flat (delta_y[n-1] = 0).
+    """
+    n = y.shape[-1] if n_valid is None else n_valid
+    t = (xi - x0) / shift
+    base = jnp.trunc(t).astype(jnp.int32)
+    frac = t - base
+    base_c = jnp.clip(base, 0, y.shape[-1] - 1)
+    y0 = y[..., base_c]
+    y1 = y[..., jnp.clip(base_c + 1, 0, y.shape[-1] - 1)]
+    delta = jnp.where(base_c >= n - 1, 0.0, y1 - y0)
+    return y0 + delta * frac
+
+
+# Zero-phase decimation filter coefficients, one biquad-cascade per ratio
+# (reference: src/matlabfunctions.cpp:27-113).  Row r: a0 a1 a2 b0 b1.
+_DECIMATE_COEFFS = np.zeros((13, 5))
+_DECIMATE_COEFFS[2] = (0.041156734567757189, -0.42599112459189636,
+                       0.041037215479961225, 0.16797464681802227,
+                       0.50392394045406674)
+_DECIMATE_COEFFS[3] = (0.95039378983237421, -0.67429146741526791,
+                       0.15412211621346475, 0.071221945171178636,
+                       0.21366583551353591)
+_DECIMATE_COEFFS[4] = (1.4499664446880227, -0.98943497080950582,
+                       0.24578252340690215, 0.036710750339322612,
+                       0.11013225101796784)
+_DECIMATE_COEFFS[5] = (1.7610939654280557, -1.2554914843859768,
+                       0.3237186507788215, 0.021334858522387423,
+                       0.06400457556716227)
+_DECIMATE_COEFFS[6] = (1.9715352749512141, -1.4686795689225347,
+                       0.3893908434965701, 0.013469181309343825,
+                       0.040407543928031475)
+_DECIMATE_COEFFS[7] = (2.1225239019534703, -1.6395144861046302,
+                       0.44469707800587366, 0.0090366882681608418,
+                       0.027110064804482525)
+_DECIMATE_COEFFS[8] = (2.2357462340187593, -1.7780899984041358,
+                       0.49152555365968692, 0.0063522763407111993,
+                       0.019056829022133598)
+_DECIMATE_COEFFS[9] = (2.3236003491759578, -1.8921545617463598,
+                       0.53148928133729068, 0.0046331164041389372,
+                       0.013899349212416812)
+_DECIMATE_COEFFS[10] = (2.3936475118069387, -1.9873904075111861,
+                        0.5658879979027055, 0.0034818622251927556,
+                        0.010445586675578267)
+_DECIMATE_COEFFS[11] = (2.450743295230728, -2.06794904601978,
+                        0.59574774438332101, 0.0026822508007163792,
+                        0.0080467524021491377)
+_DECIMATE_COEFFS[12] = (2.4981398605924205, -2.1368928194784025,
+                        0.62187513816221485, 0.0021097275904709001,
+                        0.0063291827714127002)
+
+
+def _filter_for_decimate(x, r):
+    """3rd-order IIR (direct form II) used by decimate
+    (src/matlabfunctions.cpp:27-125).  Sequential scan over samples."""
+    a0, a1, a2, b0, b1 = (jnp.asarray(v, x.dtype) for v in _DECIMATE_COEFFS[r])
+
+    def step(w, xi):
+        w0, w1, w2 = w
+        wt = xi + a0 * w0 + a1 * w1 + a2 * w2
+        yi = b0 * wt + b1 * w0 + b1 * w1 + b0 * w2
+        return (wt, w0, w1), yi
+
+    zero = jnp.zeros((), x.dtype)
+    _, y = jax.lax.scan(step, (zero, zero, zero), x)
+    return y
+
+
+@functools.partial(jax.jit, static_argnames=("r",))
+def decimate(x, r):
+    """r-fold decimation with zero-phase IIR low-pass
+    (src/matlabfunctions.cpp:178-204): 9-sample reflected edges,
+    forward-backward filtering, then strided pick.
+    Output length is (len(x)-1)//r + 1.
+    """
+    n = x.shape[0]
+    k = 9  # kNFact
+    head = 2.0 * x[0] - x[k:0:-1]
+    tail = 2.0 * x[n - 1] - x[n - 2 : n - 2 - k : -1]
+    t = jnp.concatenate([head, x, tail])
+    t = _filter_for_decimate(t, r)[::-1]
+    t = _filter_for_decimate(t, r)[::-1]
+    nout = (n - 1) // r + 1
+    nbeg = r - r * nout + n
+    # y[c] = t[nbeg + c*r + kNFact - 1]  (src/matlabfunctions.cpp:195-200)
+    idx = nbeg + np.arange(nout) * r + k - 1
+    return t[idx]
+
+
+def matlab_std(x):
+    """Sample standard deviation (src/matlabfunctions.cpp:303-313)."""
+    m = jnp.mean(x)
+    return jnp.sqrt(jnp.sum((x - m) ** 2) / (x.shape[0] - 1))
