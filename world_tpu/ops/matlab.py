@@ -16,7 +16,15 @@ import numpy as np
 
 def matlab_round(x):
     """Round half away from zero, like the reference's matlab_round
-    (src/matlabfunctions.cpp:206-208).  Returns an integer-valued array."""
+    (src/matlabfunctions.cpp:206-208).  Returns an integer-valued array.
+
+    The optimization barrier stops XLA from contracting an upstream
+    multiply with our +0.5 into an FMA: frame positions often land
+    *exactly* on .5 sample boundaries (position*fs with frame periods
+    like 5 ms), and single-rounding FMA flips those, shifting analysis
+    windows by one sample relative to the C++ reference.
+    """
+    x = jax.lax.optimization_barrier(x)
     return jnp.trunc(x + jnp.where(x > 0, 0.5, -0.5)).astype(jnp.int32)
 
 

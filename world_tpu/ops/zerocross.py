@@ -1,0 +1,60 @@
+"""Zero-crossing interval extraction (shared by Dio and Harvest).
+
+The reference extracts, per filtered band, four event streams — negative-
+going / positive-going zero crossings of the signal and of its derivative
+(peaks / dips) — and converts crossing intervals into per-frame F0
+candidates via interp1 (reference src/dio.cpp:349-508,
+src/harvest.cpp:154-293).
+
+Counts are data dependent; everything here works on fixed-size padded
+arrays with validity counts, so it vmaps over bands and batches.
+"""
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.iinfo(jnp.int32).max // 2
+
+
+def _crossing_pairs(signal, n_valid, fs):
+    """Intervals between successive +to- zero crossings of ``signal``
+    (reference ZeroCrossingEngine, src/dio.cpp:357-393).
+
+    signal: (L,) padded; only the first ``n_valid`` samples are real.
+    Returns (locations, intervals, n_pairs) with locations padded to +inf
+    ascending (ready for interp1) and intervals padded with their last
+    valid value (harmless under interp1's clamp).
+    """
+    L = signal.shape[0]
+    idx = jnp.arange(L)
+    is_edge = (signal > 0.0) & (jnp.roll(signal, -1) <= 0.0) \
+        & (idx < n_valid - 1)
+    # Edge positions are i+1 for each crossing at i; compact ascending.
+    edge_pos = jnp.sort(jnp.where(is_edge, idx + 1, BIG))
+    n_edges = jnp.sum(is_edge)
+
+    e = jnp.clip(edge_pos, 1, L - 1)
+    s_prev = signal[e - 1]
+    s_cur = signal[e]
+    fine = e.astype(signal.dtype) - s_prev / (s_cur - s_prev)
+
+    nxt = jnp.roll(fine, -1)
+    intervals = fs / (nxt - fine)
+    locations = (fine + nxt) / 2.0 / fs
+    n_pairs = jnp.maximum(n_edges - 1, 0)
+    valid = jnp.arange(L) < n_pairs
+    locations = jnp.where(valid, locations, jnp.inf)
+    intervals = jnp.where(valid, intervals, 0.0)
+    return locations, intervals, n_pairs
+
+
+def four_zero_crossing_streams(filtered, n_valid, fs):
+    """The four event streams of GetFourZeroCrossingIntervals
+    (src/dio.cpp:402-435): signal, negated signal, and the +/- forward
+    difference (peaks and dips).  Returns (4, L) locations / intervals
+    and (4,) pair counts."""
+    d = jnp.roll(filtered, -1) - filtered  # forward diff, last entry junk
+    streams = jnp.stack([filtered, -filtered, d, -d])
+    valids = jnp.stack([n_valid, n_valid, n_valid - 1, n_valid - 1])
+    return jax.vmap(_crossing_pairs, in_axes=(0, 0, None))(
+        streams, valids, jnp.asarray(fs, filtered.dtype))
