@@ -1,0 +1,233 @@
+"""D4C band-aperiodicity estimation, TPU-native.
+
+Reference src/d4c.cpp.  Structure: a LoveTrain VUV/energy gate per frame,
+then (for passing frames) a static group delay computed from two offset
+Blackman-window centroids and a smoothed power spectrum, from which a
+coarse aperiodicity per 3 kHz band is read off via a sorted cumulative
+power tail.  The C++ skips unvoiced/failing frames with `continue`; here
+every frame computes and the result is masked (select) — the TPU way.
+
+The per-band std::sort becomes jax.lax sort over fft bins; band and frame
+axes are vmapped.  RNG consumption order (LoveTrain windows for voiced
+frames, then centroid1/centroid2/smoothed windows for passing frames)
+matches the reference stream in exact mode.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..ops import common
+from ..ops import rng as rng_ops
+from ..ops.matlab import interp1, matlab_round
+
+HANNING = 1
+BLACKMAN = 2
+
+
+def _windowed_waveform(x, fs_t, f0, position, window_type,
+                       window_length_ratio, max_len, dither):
+    """F0-adaptive window with mean removal (src/d4c.cpp:21-84).
+    Returns (max_len,) padded with zeros; dither scale kSafeGuardD4C."""
+    half = matlab_round(window_length_ratio * fs_t / f0 / 2.0)
+    win_len = 2 * half + 1
+    i = jnp.arange(max_len)
+    base = i - half
+    in_win = i < win_len
+    origin = matlab_round(position * fs_t + 0.001)
+    safe = jnp.clip(origin + base, 0, x.shape[0] - 1)
+    pos = (2.0 * base.astype(x.dtype) / window_length_ratio) / fs_t
+    if window_type == HANNING:
+        window = 0.5 * jnp.cos(config.K_PI * pos * f0) + 0.5
+    else:
+        window = (0.42 + 0.5 * jnp.cos(config.K_PI * pos * f0)
+                  + 0.08 * jnp.cos(config.K_PI * pos * f0 * 2))
+    window = jnp.where(in_win, window, 0.0)
+    waveform = x[safe] * window + dither * config.K_SAFE_GUARD_D4C
+    waveform = jnp.where(in_win, waveform, 0.0)
+    coeff = jnp.sum(waveform) / jnp.sum(window)
+    return jnp.where(in_win, waveform - window * coeff, 0.0), half
+
+
+def _love_train_frame(x, fs_t, fft_size, boundaries, f0, position, dither):
+    """Cumulative band-power ratio for VUV detection
+    (src/d4c.cpp:227-252)."""
+    b0, b1, b2 = boundaries
+    waveform, _ = _windowed_waveform(x, fs_t, f0, position, BLACKMAN, 3.0,
+                                     fft_size, dither)
+    spec = jnp.fft.rfft(waveform)
+    power = spec.real**2 + spec.imag**2
+    k = jnp.arange(power.shape[0])
+    power = jnp.where(k <= b0, 0.0, power)
+    cum = jnp.cumsum(power)
+    return cum[b1] / cum[b2]
+
+
+def _centroid(x, fs_t, fft_size, f0, position, dither):
+    """Energy centroid (src/d4c.cpp:90-120)."""
+    waveform, half = _windowed_waveform(x, fs_t, f0, position, BLACKMAN, 4.0,
+                                        fft_size, dither)
+    # Normalization runs over indices 0..2*round(2fs/f0) == the window.
+    power = jnp.sum(waveform**2)
+    waveform = waveform / jnp.sqrt(power)
+    spec1 = jnp.fft.rfft(waveform)
+    ramped = waveform * (jnp.arange(fft_size, dtype=x.dtype) + 1.0)
+    spec2 = jnp.fft.rfft(ramped)
+    return spec1.real * spec2.real + spec1.imag * spec2.imag
+
+
+def _coarse_aperiodicity(static_group_delay, fs_t, fft_size, n_bands, window,
+                         window_length, dtype):
+    """Per-band sorted cumulative power tail of the windowed group delay
+    (src/d4c.cpp:194-225).  vmapped over bands; sort via jnp.sort."""
+    boundary = matlab_round(fft_size * 8.0 / window_length)
+    half_window = window_length // 2
+    half = fft_size // 2
+
+    def one_band(band):
+        center = ((config.K_FREQUENCY_INTERVAL * (band + 1) * fft_size)
+                  / fs_t).astype(jnp.int32)
+        start = center - half_window
+        seg = jax.lax.dynamic_slice(static_group_delay, (start,),
+                                    (window_length,)) * window
+        spec = jnp.fft.rfft(seg, n=fft_size)
+        power = jnp.sort(spec.real**2 + spec.imag**2)
+        cum = jnp.cumsum(power)
+        return 10.0 * jnp.log10(cum[half - boundary - 1] / cum[half])
+
+    return jax.vmap(one_band)(jnp.arange(n_bands))
+
+
+def _d4c_body_frame(x, fs_t, fft_size_d4c, n_bands, window, window_length,
+                    out_fft_size, f0, position, dithers):
+    """One frame of D4CGeneralBody (src/d4c.cpp:293-321): coarse
+    aperiodicity values per band, before the frequency-axis interp."""
+    dtype = x.dtype
+    half = fft_size_d4c // 2
+    b_max = fft_size_d4c // 2 + 2  # covers smoothing widths up to fs/2
+
+    c1 = _centroid(x, fs_t, fft_size_d4c, f0, position - 0.25 / f0,
+                   dithers[0])
+    c2 = _centroid(x, fs_t, fft_size_d4c, f0, position + 0.25 / f0,
+                   dithers[1])
+    static_centroid = common.dc_correction(c1 + c2, f0, fs_t, fft_size_d4c)
+
+    waveform, _ = _windowed_waveform(x, fs_t, f0, position, HANNING, 4.0,
+                                     fft_size_d4c, dithers[2])
+    spec = jnp.fft.rfft(waveform)
+    smoothed = spec.real**2 + spec.imag**2
+    smoothed = common.dc_correction(smoothed, f0, fs_t, fft_size_d4c)
+    smoothed = common.linear_smoothing(smoothed, f0, fs_t, fft_size_d4c,
+                                       b_max)
+
+    sgd = static_centroid / smoothed
+    sgd = common.linear_smoothing(sgd, f0 / 2.0, fs_t, fft_size_d4c, b_max)
+    sgd = sgd - common.linear_smoothing(sgd, f0, fs_t, fft_size_d4c, b_max)
+
+    coarse = _coarse_aperiodicity(sgd, fs_t, fft_size_d4c, n_bands, window,
+                                  window_length, dtype)
+    return jnp.minimum(0.0, coarse + (f0 - 100.0) / 50.0)
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "fft_size", "threshold",
+                                              "rng_mode"))
+def _d4c_impl(x, temporal_positions, f0, fs_t, *, fs, fft_size, threshold,
+              rng_mode):
+    dtype = x.dtype
+    n_frames = f0.shape[0]
+    half_out = fft_size // 2
+
+    fft_lt = config.get_fft_size_for_d4c_love_train(fs)
+    fft_d4c = config.get_fft_size_for_d4c(fs)
+    n_bands = config.get_number_of_aperiodicities(fs)
+    import numpy as np
+    boundaries = tuple(int(np.ceil(f * fft_lt / fs))
+                       for f in (100.0, 4000.0, 7900.0))
+    window_length = int(config.K_FREQUENCY_INTERVAL * fft_d4c / fs) * 2 + 1
+    window = common.nuttall_window(window_length, dtype=dtype)
+
+    voiced = f0 != 0.0
+    f0_lt = jnp.maximum(f0, 40.0)
+    f0_body = jnp.maximum(f0, config.K_FLOOR_F0_D4C)
+
+    # ---- RNG draws, matching the reference's sequential consumption ----
+    # Counts use the same fp expressions as the window halves so draw
+    # consumption stays aligned with the reference stream.
+    lt_counts = jnp.where(voiced,
+                          2 * matlab_round(3.0 * fs_t / f0_lt / 2.0) + 1, 0)
+    max_lt = 2 * int(round(1.5 * fs / 40.0)) + 2
+    body_win = 2 * matlab_round(4.0 * fs_t / f0_body / 2.0) + 1
+    max_body = 2 * int(round(2.0 * fs / config.K_FLOOR_F0_D4C)) + 2
+    if rng_mode == "exact":
+        lt_offsets = jnp.cumsum(lt_counts) - lt_counts
+        lt_dither = rng_ops.randn_blocks_at(lt_offsets, max_lt).astype(dtype)
+    elif rng_mode == "fast":
+        key = jax.random.PRNGKey(1)
+        lt_dither = jax.random.normal(key, (n_frames, max_lt), dtype)
+    else:
+        lt_dither = jnp.zeros((n_frames, max_lt), dtype)
+
+    pad = jnp.zeros((n_frames, fft_lt - max_lt), dtype)
+    ap0 = jax.vmap(lambda f, p, d: _love_train_frame(
+        x, fs_t, fft_lt, boundaries, f, p, d))(
+            f0_lt, temporal_positions, jnp.concatenate([lt_dither, pad], 1))
+    ap0 = jnp.where(voiced, ap0, 0.0)
+
+    passing = voiced & (ap0 > threshold)
+
+    if rng_mode == "exact":
+        body_counts = jnp.where(passing, 3 * body_win, 0)
+        total_lt = jnp.sum(lt_counts)
+        body_offsets = total_lt + jnp.cumsum(body_counts) - body_counts
+        flat_offsets = (body_offsets[:, None]
+                        + body_win[:, None] * jnp.arange(3)[None, :])
+        body_dither = rng_ops.randn_blocks_at(
+            flat_offsets.reshape(-1), max_body).astype(dtype)
+        body_dither = body_dither.reshape(n_frames, 3, max_body)
+    elif rng_mode == "fast":
+        key = jax.random.PRNGKey(2)
+        body_dither = jax.random.normal(key, (n_frames, 3, max_body), dtype)
+    else:
+        body_dither = jnp.zeros((n_frames, 3, max_body), dtype)
+
+    padb = jnp.zeros((n_frames, 3, fft_d4c - max_body), dtype)
+    coarse = jax.vmap(lambda f, p, d: _d4c_body_frame(
+        x, fs_t, fft_d4c, n_bands, window, window_length, fft_size, f, p, d))(
+            f0_body, temporal_positions,
+            jnp.concatenate([body_dither, padb], 2))
+
+    # Assemble [-60, coarse..., -eps] and interpolate onto the output axis
+    # (src/d4c.cpp:330-338,372-394).
+    edges = jnp.concatenate(
+        [jnp.full((n_frames, 1), -60.0, dtype), coarse,
+         jnp.full((n_frames, 1), -config.K_MY_SAFE_GUARD_MINIMUM, dtype)], 1)
+    coarse_axis = jnp.concatenate(
+        [jnp.arange(n_bands + 1, dtype=dtype) * config.K_FREQUENCY_INTERVAL,
+         jnp.asarray([fs / 2.0], dtype)])
+    freq_axis = jnp.arange(half_out + 1, dtype=dtype) * fs_t / fft_size
+    ap = jax.vmap(lambda e: interp1(coarse_axis, e, freq_axis))(edges)
+    ap = 10.0 ** (ap / 20.0)
+
+    default = 1.0 - config.K_MY_SAFE_GUARD_MINIMUM
+    return jnp.where(passing[:, None], ap, default), ap0
+
+
+def d4c(x, fs, temporal_positions, f0, fft_size=None, option=None,
+        rng_mode="exact"):
+    """D4C aperiodicity estimation (reference src/d4c.cpp:342-403).
+
+    fft_size is the *output* spectral resolution (CheapTrick's fft_size).
+    Returns aperiodicity of shape (f0_length, fft_size//2 + 1).
+    """
+    option = option or config.D4COption()
+    if fft_size is None:
+        fft_size = config.get_fft_size_for_cheaptrick(fs)
+    x = jnp.asarray(x)
+    ap, _ = _d4c_impl(x, jnp.asarray(temporal_positions, x.dtype),
+                      jnp.asarray(f0, x.dtype),
+                      jnp.asarray(float(fs), x.dtype), fs=fs,
+                      fft_size=fft_size, threshold=option.threshold,
+                      rng_mode=rng_mode)
+    return ap
