@@ -1,0 +1,39 @@
+import numpy as np
+
+from world_tpu.models.synthesis import synthesis
+
+
+def snr_db(ref, y):
+    return 10 * np.log10(np.sum(ref**2) / np.sum((ref - y) ** 2))
+
+
+def test_synthesis_golden(gold):
+    fs = gold.scalar("fs")
+    f0 = gold["harvest_f0"]
+    sp = gold["cheaptrick_sp"]
+    ap = gold["d4c_ap"]
+    ref = gold["synthesis_y"]
+    y = np.asarray(synthesis(f0, sp, ap, fs, frame_period=5.0,
+                             rng_mode="exact"))
+    assert y.shape == ref.shape
+    s = snr_db(ref, y)
+    # Exact RNG + identical math: only FFT/cumsum rounding differs.
+    assert s > 80.0, s
+
+
+def test_synthesis_fast_quality(gold):
+    """Fast-mode noise differs sample-wise; assert energy/envelope
+    agreement instead (the production quality criterion)."""
+    fs = gold.scalar("fs")
+    y = np.asarray(synthesis(gold["harvest_f0"], gold["cheaptrick_sp"],
+                             gold["d4c_ap"], fs, rng_mode="fast"))
+    ref = gold["synthesis_y"]
+    assert np.isfinite(y).all()
+    # Frame-RMS envelope within 1 dB where signal is present.
+    n = (len(ref) // 256) * 256
+    re = ref[:n].reshape(-1, 256).std(axis=1)
+    ye = y[:n].reshape(-1, 256).std(axis=1)
+    act = re > re.max() * 0.03
+    db = 20 * np.abs(np.log10(ye[act] / re[act]))
+    assert np.median(db) < 0.5, np.median(db)
+    assert db.max() < 3.0, db.max()
