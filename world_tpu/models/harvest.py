@@ -1,0 +1,551 @@
+"""Harvest F0 estimator, TPU-native.
+
+Reference src/harvest.cpp.  Internally always runs at a 1 ms frame
+period with 40 channels/octave on a ~8 kHz decimated signal, then
+nearest-neighbor resamples to the requested period (src/harvest.cpp:
+1223-1255).
+
+Device pipeline (jitted):
+  A. decimate (MATLAB-compatible edge extension) + whole-signal rfft;
+     per channel (vmapped over ~152 bands): cosine-modulated Nuttall
+     band-pass, four zero-crossing streams, interp1 -> raw candidates.
+  B. channel-run collapse into per-frame candidate lists, +/-3 frame
+     overlap smear (gather with traced candidate count), then the
+     instantaneous-frequency refinement of every (frame, candidate)
+     pair — the >90%-of-runtime kernel — bucketed by power-of-two fft
+     size and chunked to bound memory.
+  C. neighbor-consistency pruning (vectorized).
+
+The contour fixing (FixStep1-4 incl. Extend/Merge) and the per-section
+zero-phase smoothing are O(frames) sequential logic with negligible
+FLOPs; v0 runs them on the host in numpy (scipy.lfilter for the IIR),
+mirroring the C++ semantics exactly.  TODO(round2): port to lax.scan.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.signal
+
+from .. import config
+from ..ops import zerocross
+from ..ops.common import get_suitable_fft_size
+from ..ops.filterbank import filtered_signal_harvest
+from ..ops.matlab import decimate, interp1, matlab_round
+
+BIG = jnp.iinfo(jnp.int32).max // 2
+
+
+# ---------------------------------------------------------------------------
+# Stage A: decimation, filterbank, raw candidates
+# ---------------------------------------------------------------------------
+
+def _waveform_and_spectrum(x, y_length, fft_size, decimation_ratio):
+    """Decimate with MATLAB-compatible edge extension, remove DC, rfft
+    (src/harvest.cpp:43-93).  Returns (y, y_spectrum)."""
+    if decimation_ratio == 1:
+        y = x[:y_length]
+    else:
+        lag = int(math.ceil(140.0 / decimation_ratio) * decimation_ratio)
+        head = jnp.full(lag, x[0], x.dtype)
+        tail = jnp.full(lag, x[-1], x.dtype)
+        new_y = decimate(jnp.concatenate([head, x, tail]), decimation_ratio)
+        y = jax.lax.dynamic_slice(new_y, (lag // decimation_ratio,),
+                                  (y_length,))
+    y = y - jnp.mean(y)
+    padded = jnp.concatenate([y, jnp.zeros(fft_size - y_length, x.dtype)])
+    return y, jnp.fft.rfft(padded)
+
+
+def _channel_candidates(boundary_f0, y_spectrum, y_length, actual_fs,
+                        fft_size, temporal_positions, f0_floor, f0_ceil,
+                        dtype):
+    """Raw F0 candidate contour for one channel
+    (src/harvest.cpp:99-293)."""
+    flh = matlab_round(actual_fs / boundary_f0 * 2.0)
+    filtered = filtered_signal_harvest(boundary_f0, fft_size, actual_fs,
+                                       y_spectrum, y_length, dtype, flh)
+    locs, ints, n_pairs = zerocross.four_zero_crossing_streams(
+        filtered, y_length, actual_fs)
+    interp = jax.vmap(lambda lo, iv, n: interp1(lo, iv, temporal_positions,
+                                                n_valid=n))(locs, ints,
+                                                            n_pairs)
+    candidate = jnp.mean(interp, axis=0)
+    bad = ((candidate > boundary_f0 * 1.1) | (candidate < boundary_f0 * 0.9)
+           | (candidate > f0_ceil) | (candidate < f0_floor))
+    valid = jnp.all(n_pairs >= 3)
+    return jnp.where(valid & ~bad, candidate, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Stage B: candidate collapse, overlap, IF refinement
+# ---------------------------------------------------------------------------
+
+def _detect_official_candidates(raw, max_candidates):
+    """Collapse voiced channel runs (>=10 channels) into per-frame
+    candidate lists (src/harvest.cpp:348-412).
+
+    raw: (channels, frames).  Returns ((frames, max_candidates) array,
+    global candidate count C)."""
+    n_ch, n_frames = raw.shape
+    vuv = raw > 0.0
+    ch = jnp.arange(n_ch)
+    vuv = vuv & (ch[:, None] != 0) & (ch[:, None] != n_ch - 1)
+
+    def per_frame(v, column):
+        prev = jnp.concatenate([jnp.zeros(1, bool), v[:-1]])
+        starts = v & ~prev
+        ends = ~v & prev
+        st = jnp.sort(jnp.where(starts, ch, BIG))[:max_candidates]
+        ed = jnp.sort(jnp.where(ends, ch, BIG))[:max_candidates]
+        n_runs = jnp.sum(starts)
+        k = jnp.arange(max_candidates)
+        stc = jnp.clip(st, 1, n_ch - 1)
+        edc = jnp.clip(ed, 1, n_ch - 1)
+        csum = jnp.cumsum(column)
+        mean = (csum[edc - 1] - csum[stc - 1]) / (edc - stc).astype(raw.dtype)
+        ok = (k < n_runs) & ((edc - stc) >= 10)
+        # compact kept runs, preserving order
+        slot_key = jnp.sort(jnp.where(ok, k, BIG))
+        mean_kept = jnp.where(slot_key < BIG, mean[jnp.clip(slot_key, 0,
+                                                  max_candidates - 1)], 0.0)
+        return mean_kept, jnp.sum(ok)
+
+    cands, counts = jax.vmap(per_frame, in_axes=(1, 1))(vuv, raw)
+    return cands, jnp.max(counts)
+
+
+def _overlap_candidates(cands, n_cands, max_candidates):
+    """Smear candidates +/-3 frames into slots j + C*i
+    (src/harvest.cpp:417-429).  C = n_cands is traced."""
+    n_frames = cands.shape[0]
+    s = jnp.arange(max_candidates)
+    c = jnp.maximum(n_cands, 1)
+    q = s // c           # 0 -> original, 1..3 -> k-q, 4..6 -> k+(q-3)
+    j = s % c
+    shift = jnp.where(q <= 3, q, -(q - 3))
+    k = jnp.arange(n_frames)[:, None]
+    src_frame = k - shift[None, :]
+    in_range = (src_frame >= 0) & (src_frame < n_frames) & (q < 7)[None, :]
+    src_frame = jnp.clip(src_frame, 0, n_frames - 1)
+    vals = cands[src_frame, jnp.broadcast_to(j, src_frame.shape)]
+    return jnp.where(in_range & (s < 7 * c) & (n_cands > 0), vals, 0.0)
+
+
+def _refine_pair(y, fs_t, fft_size, max_len, position, f0, f0_floor,
+                 f0_ceil):
+    """GetRefinedF0 for one (frame, candidate) pair at a static fft size
+    (src/harvest.cpp:434-617)."""
+    dtype = y.dtype
+    half_window = (1.5 * fs_t / f0 + 1.0).astype(jnp.int32)
+    win_len = 2 * half_window + 1
+    wlt = win_len.astype(dtype) / fs_t
+
+    i = jnp.arange(max_len)
+    in_win = i < win_len
+    # GetBaseIndex (harvest variant): one rounded origin, then +i
+    # (src/harvest.cpp:434-441).
+    bt0 = -half_window.astype(dtype) / fs_t
+    basic_index = matlab_round((position + bt0) * fs_t + 0.001)
+    base_index = basic_index + i
+    tmp = (base_index.astype(dtype) - 1.0) / fs_t - position
+    main_window = (0.42 + 0.5 * jnp.cos(2.0 * config.K_PI * tmp / wlt)
+                   + 0.08 * jnp.cos(4.0 * config.K_PI * tmp / wlt))
+    main_window = jnp.where(in_win, main_window, 0.0)
+    nxt = jnp.roll(main_window, -1)
+    prv = jnp.roll(main_window, 1)
+    diff_window = -(nxt - prv) / 2.0
+    diff_window = jnp.where(i == 0, -nxt / 2.0, diff_window)
+    diff_window = jnp.where(i == win_len - 1, prv / 2.0, diff_window)
+    diff_window = jnp.where(in_win, diff_window, 0.0)
+
+    safe = jnp.clip(base_index - 1, 0, y.shape[0] - 1)
+    seg = jnp.where(in_win, y[safe], 0.0)
+    main_spec = jnp.fft.rfft(seg * main_window, n=fft_size)
+    diff_spec = jnp.fft.rfft(seg * diff_window, n=fft_size)
+    power = main_spec.real**2 + main_spec.imag**2
+    numer = (main_spec.real * diff_spec.imag
+             - main_spec.imag * diff_spec.real)
+
+    # FixF0, harvest flavor: single pass, data-dependent harmonic count
+    # (src/harvest.cpp:507-536,571-573).
+    n_harm = jnp.minimum((fs_t / 2.0 / f0).astype(jnp.int32), 6)
+    harm = jnp.arange(1, 7, dtype=dtype)
+    active = jnp.arange(6) < n_harm
+    index = matlab_round(f0 * fft_size / fs_t * harm)
+    index = jnp.clip(index, 0, fft_size // 2)
+    ps = power[index]
+    inst = jnp.where(ps == 0.0, 0.0,
+                     index.astype(dtype) * fs_t / fft_size
+                     + numer[index] / ps * fs_t / (2.0 * config.K_PI))
+    amp = jnp.where(active, jnp.sqrt(ps), 0.0)
+    refined = jnp.sum(amp * inst * active) / (
+        jnp.sum(amp * harm) + config.K_MY_SAFE_GUARD_MINIMUM)
+    dev = jnp.sum(jnp.where(active, jnp.abs((inst / harm - f0) / f0), 0.0))
+    score = 1.0 / (dev / jnp.maximum(n_harm, 1)
+                   + config.K_MY_SAFE_GUARD_MINIMUM)
+
+    ok = (refined >= f0_floor) & (refined <= f0_ceil) & (score >= 2.5)
+    return jnp.where(ok, refined, 0.0), jnp.where(ok, score, 0.0)
+
+
+def _refine_buckets(fs, f0_floor, f0_ceil):
+    hw_min = int(1.5 * fs / f0_ceil + 1.0)
+    hw_max = int(1.5 * fs / f0_floor + 1.0)
+    lo = 2 ** (2 + int(math.log(hw_min * 2.0 + 1.0) / config.K_LOG2))
+    hi = 2 ** (2 + int(math.log(hw_max * 2.0 + 1.0) / config.K_LOG2))
+    sizes, s = [], lo
+    while s <= hi:
+        sizes.append(s)
+        s *= 2
+    return sizes
+
+
+def _refine_all(y, fs_t, positions, cands, f0_floor, f0_ceil, sizes,
+                chunk=2048):
+    """Refine every (frame, candidate) pair, bucketed by fft size and
+    chunked along the flattened pair axis."""
+    n_frames, n_slots = cands.shape
+    flat_f0 = cands.reshape(-1)
+    flat_pos = jnp.broadcast_to(positions[:, None],
+                                (n_frames, n_slots)).reshape(-1)
+    n = flat_f0.shape[0]
+    pad = (-n) % chunk
+    flat_f0 = jnp.concatenate([flat_f0, jnp.zeros(pad, flat_f0.dtype)])
+    flat_pos = jnp.concatenate([flat_pos, jnp.zeros(pad, flat_pos.dtype)])
+
+    usable = flat_f0 > 0.0
+    f0_safe = jnp.where(usable, flat_f0, 100.0)
+    hw = (1.5 * fs_t / f0_safe + 1.0).astype(jnp.int32)
+    pair_fft = 2 ** (2 + jnp.floor(
+        jnp.log(hw * 2.0 + 1.0) / config.K_LOG2).astype(jnp.int32))
+
+    refined = jnp.zeros_like(flat_f0)
+    scores = jnp.zeros_like(flat_f0)
+    for fft_size in sizes:
+        def one_chunk(args, fft_size=fft_size):
+            p, f = args
+            return jax.vmap(lambda pp, ff: _refine_pair(
+                y, fs_t, fft_size, fft_size, pp, ff, f0_floor, f0_ceil))(p, f)
+
+        r, s = jax.lax.map(one_chunk,
+                           (flat_pos.reshape(-1, chunk),
+                            f0_safe.reshape(-1, chunk)))
+        sel = pair_fft == fft_size
+        refined = jnp.where(sel, r.reshape(-1), refined)
+        scores = jnp.where(sel, s.reshape(-1), scores)
+
+    refined = jnp.where(usable, refined, 0.0)[:n]
+    scores = jnp.where(usable, scores, 0.0)[:n]
+    return refined.reshape(n_frames, n_slots), scores.reshape(n_frames,
+                                                              n_slots)
+
+
+def _remove_unreliable(cands, scores):
+    """Zero candidates with no close neighbor in the adjacent frames
+    (src/harvest.cpp:652-688)."""
+    ref = cands  # snapshot semantics: C++ compares against a pre-copy
+    nxt = jnp.concatenate([ref[1:], ref[-1:]])
+    prv = jnp.concatenate([ref[:1], ref[:-1]])
+
+    def min_err(a, b):
+        # min over b's candidates of |a - b_j| / a, capped at 1.0
+        e = jnp.abs(a[:, :, None] - b[:, None, :]) / a[:, :, None]
+        return jnp.minimum(jnp.min(e, axis=-1), 1.0)
+
+    e1 = min_err(ref, nxt)
+    e2 = min_err(ref, prv)
+    bad = jnp.minimum(e1, e2) > 0.05
+    n_frames = cands.shape[0]
+    interior = ((jnp.arange(n_frames) > 0)
+                & (jnp.arange(n_frames) < n_frames - 1))[:, None]
+    kill = bad & interior & (ref != 0.0)
+    return (jnp.where(kill, 0.0, cands), jnp.where(kill, 0.0, scores))
+
+
+# ---------------------------------------------------------------------------
+# Stage C: contour fixing + smoothing (host numpy, v0)
+# ---------------------------------------------------------------------------
+
+def _select_best_np(reference, cands, allowed_range):
+    """SelectBestF0 (src/harvest.cpp:636-650): nearest candidate within
+    allowed relative error; ties keep the later candidate."""
+    err = np.abs(reference - cands) / reference
+    best, best_err = 0.0, allowed_range
+    for c, e in zip(cands, err):
+        if e > best_err:
+            continue
+        best, best_err = c, e
+    return best, best_err
+
+
+def _get_boundary_list(f0):
+    vuv = (f0 > 0).astype(np.int32)
+    vuv[0] = vuv[-1] = 0
+    idx = np.where(np.diff(vuv) != 0)[0] + 1
+    bl = []
+    for n, i in enumerate(idx):
+        bl.append(i - n % 2)
+    return bl
+
+
+def _fix_contour_np(cands, scores):
+    """FixF0Contour (src/harvest.cpp:693-1044) on the host."""
+    f0_length, n_slots = cands.shape
+    # SearchF0Base
+    base = np.zeros(f0_length)
+    best = np.argmax(scores, axis=1)
+    has = scores.max(axis=1) > 0.0
+    base[has] = cands[np.arange(f0_length), best][has]
+
+    # FixStep1 (allowed_range 0.008)
+    step1 = np.zeros(f0_length)
+    for i in range(2, f0_length):
+        if base[i] == 0.0:
+            continue
+        reference = base[i - 1] * 2 - base[i - 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c1 = np.abs((base[i] - reference) / reference) > 0.008
+            c2 = np.abs(base[i] - base[i - 1]) / base[i - 1] > 0.008
+        step1[i] = 0.0 if (c1 and c2) else base[i]
+
+    # FixStep2: drop voiced runs shorter than 6
+    step2 = step1.copy()
+    bl = _get_boundary_list(step1)
+    for k in range(len(bl) // 2):
+        if bl[2 * k + 1] - bl[2 * k] >= 6:
+            continue
+        step2[bl[2 * k]: bl[2 * k + 1] + 1] = 0.0
+
+    # FixStep3: Extend + Merge (src/harvest.cpp:791-995)
+    step3 = _fix_step3_np(step2, cands, scores)
+
+    # FixStep4: fill short unvoiced gaps (<9) linearly
+    step4 = step3.copy()
+    bl = _get_boundary_list(step3)
+    for k in range(len(bl) // 2 - 1):
+        dist = bl[(k + 1) * 2] - bl[k * 2 + 1] - 1
+        if dist >= 9:
+            continue
+        t0 = step3[bl[k * 2 + 1]] + 1
+        t1 = step3[bl[(k + 1) * 2]] - 1
+        coef = (t1 - t0) / (dist + 1.0)
+        for c, j in enumerate(range(bl[k * 2 + 1] + 1, bl[(k + 1) * 2])):
+            step4[j] = t0 + coef * (c + 1)
+    return step4
+
+
+def _extend_f0_np(extended, origin, last_point, shift, cands, allowed):
+    """ExtendF0 (src/harvest.cpp:791-820): walk selecting candidates,
+    stop after 4 consecutive misses."""
+    tmp_f0 = extended[origin]
+    shifted_origin = origin
+    count = 0
+    for step in range(abs(last_point - origin) + 1):
+        t = origin + shift * step + shift
+        val, _ = _select_best_np(tmp_f0, cands[t], allowed)
+        extended[t] = val
+        if val == 0.0:
+            count += 1
+        else:
+            tmp_f0 = val
+            count = 0
+            shifted_origin = t
+        if count == 4:
+            break
+    return shifted_origin
+
+
+def _search_score_np(f0, cands_row, scores_row):
+    score = 0.0
+    for c, s in zip(cands_row, scores_row):
+        if f0 == c and score < s:
+            score = s
+    return score
+
+
+def _fix_step3_np(step2, cands, scores):
+    f0_length = step2.shape[0]
+    step3 = step2.copy()
+    bl = _get_boundary_list(step2)
+    n_sec = len(bl) // 2
+    if n_sec == 0:
+        return step3
+    multi = np.zeros((n_sec, f0_length))
+    for k in range(n_sec):
+        multi[k, bl[2 * k]: bl[2 * k + 1] + 1] = \
+            step2[bl[2 * k]: bl[2 * k + 1] + 1]
+    bl = list(bl)
+
+    # Extend (threshold 100 frames each way, allowed_range 0.18)
+    for k in range(n_sec):
+        bl[2 * k + 1] = _extend_f0_np(
+            multi[k], bl[2 * k + 1], min(f0_length - 2, bl[2 * k + 1] + 100),
+            1, cands, 0.18)
+        bl[2 * k] = _extend_f0_np(
+            multi[k], bl[2 * k], max(1, bl[2 * k] - 100), -1, cands, 0.18)
+
+    # ExtendSub: keep long-enough sections; mean_f0 carries residue
+    # across iterations exactly like the C++ (src/harvest.cpp:840-856).
+    count = 0
+    mean_f0 = 0.0
+    for k in range(n_sec):
+        st, ed = bl[2 * k], bl[2 * k + 1]
+        mean_f0 += multi[k, st:ed].sum()
+        mean_f0 /= ed - st
+        if 2200.0 / mean_f0 < ed - st:
+            # swap into the kept prefix
+            multi[[count, k]] = multi[[k, count]]
+            bl[2 * count], bl[2 * k] = bl[2 * k], bl[2 * count]
+            bl[2 * count + 1], bl[2 * k + 1] = bl[2 * k + 1], bl[2 * count + 1]
+            count += 1
+    n_kept = count
+    if n_kept == 0:
+        return step3
+
+    # MergeF0 (src/harvest.cpp:937-963).  MakeSortedOrder is a literal
+    # transcription: the swap targets fixed position i, so it is not a
+    # textbook insertion sort — match it operation for operation.
+    order = list(range(n_kept))
+    for i in range(1, n_kept):
+        for j in range(i - 1, -1, -1):
+            if bl[2 * order[j]] > bl[2 * order[i]]:
+                order[i], order[j] = order[j], order[i]
+            else:
+                break
+    merged = multi[0].copy()
+    b = list(bl)
+    for i in range(1, n_kept):
+        oi = order[i]
+        if b[2 * oi] - b[1] > 0:
+            merged[b[2 * oi]: b[2 * oi + 1] + 1] = \
+                multi[oi, b[2 * oi]: b[2 * oi + 1] + 1]
+            b[0] = b[2 * oi]
+            b[1] = b[2 * oi + 1]
+        else:
+            b[1] = _merge_f0_sub_np(merged, b[0], b[1], multi[oi],
+                                    b[2 * oi], b[2 * oi + 1], cands, scores)
+    return merged
+
+
+def _merge_f0_sub_np(merged, st1, ed1, f0_2, st2, ed2, cands, scores):
+    """MergeF0Sub (src/harvest.cpp:912-932)."""
+    if st1 <= st2 and ed1 >= ed2:
+        return ed1
+    score1 = score2 = 0.0
+    for i in range(st2, ed1 + 1):
+        score1 += _search_score_np(merged[i], cands[i], scores[i])
+        score2 += _search_score_np(f0_2[i], cands[i], scores[i])
+    if score1 > score2:
+        merged[ed1: ed2 + 1] = f0_2[ed1: ed2 + 1]
+    else:
+        merged[st2: ed2 + 1] = f0_2[st2: ed2 + 1]
+    return ed2
+
+
+def _smooth_contour_np(f0):
+    """Per-voiced-section zero-phase 2nd-order smoothing
+    (src/harvest.cpp:1049-1113)."""
+    b = np.array([0.0078202080334971724, 0.015640416066994345])
+    a = np.array([1.7347257688092754, -0.76600660094326412])
+    num = np.array([b[0], b[1], b[0]])
+    den = np.array([1.0, -a[0], -a[1]])
+    lag = 300
+    n = f0.shape[0] + lag * 2
+    contour = np.zeros(n)
+    contour[lag: lag + f0.shape[0]] = f0
+    out = np.zeros_like(f0)
+    bl = _get_boundary_list(contour)
+    for k in range(len(bl) // 2):
+        st, ed = bl[2 * k], bl[2 * k + 1]
+        x = contour.copy()
+        x[:st] = x[st]
+        x[ed + 1:] = x[ed]
+        y1 = scipy.signal.lfilter(num, den, x)[::-1]
+        y2 = scipy.signal.lfilter(num, den, y1)[::-1]
+        out[st - lag: ed + 1 - lag] = y2[st: ed + 1]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Top level
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("fs", "f0_floor", "f0_ceil",
+                                              "channels_in_octave", "speed"))
+def _harvest_device_stage(x, fs_t, *, fs, f0_floor, f0_ceil,
+                          channels_in_octave, speed):
+    """Stages A+B+C-prune on device.  Always 1 ms frame period."""
+    dtype = x.dtype
+    x_length = x.shape[0]
+    adj_floor = f0_floor * 0.9
+    adj_ceil = f0_ceil * 1.1
+    n_channels = 1 + int(math.log(adj_ceil / adj_floor)
+                         / config.K_LOG2 * channels_in_octave)
+    boundaries = adj_floor * 2.0 ** (
+        (np.arange(n_channels) + 1) / channels_in_octave)
+
+    decimation_ratio = max(min(speed, 12), 1)
+    y_length = int(math.ceil(x_length / decimation_ratio))
+    actual_fs = fs / decimation_ratio
+    fft_size = get_suitable_fft_size(
+        y_length + 5 + 2 * int(2.0 * actual_fs / boundaries[0]))
+
+    y, y_spectrum = _waveform_and_spectrum(x, y_length, fft_size,
+                                           decimation_ratio)
+
+    f0_length = config.get_samples_for_harvest(fs, x_length, 1.0)
+    positions = jnp.arange(f0_length, dtype=dtype) / 1000.0
+
+    raw = jax.lax.map(
+        lambda b: _channel_candidates(b, y_spectrum, y_length,
+                                      jnp.asarray(actual_fs, dtype),
+                                      fft_size, positions, f0_floor, f0_ceil,
+                                      dtype),
+        jnp.asarray(boundaries, dtype), batch_size=32)
+
+    max_candidates = int(round(n_channels / 10.0)) * 7
+    cands0, n_cands = _detect_official_candidates(raw, max_candidates)
+    cands = _overlap_candidates(cands0, n_cands, max_candidates)
+
+    fs_dec = jnp.asarray(actual_fs, dtype)
+    sizes = _refine_buckets(actual_fs, f0_floor, f0_ceil)
+    refined, scores = _refine_all(y, fs_dec, positions, cands, f0_floor,
+                                  f0_ceil, sizes)
+    return _remove_unreliable(refined, scores)
+
+
+def harvest(x, fs, option=None):
+    """Harvest F0 estimation (reference src/harvest.cpp:1223-1255).
+
+    Returns (temporal_positions, f0) at option.frame_period ms.
+    """
+    option = option or config.HarvestOption()
+    x = jnp.asarray(x)
+    target_fs = 8000.0
+    dimension_ratio = int(round(fs / target_fs))
+
+    cands, scores = _harvest_device_stage(
+        x, jnp.asarray(float(fs), x.dtype), fs=fs, f0_floor=option.f0_floor,
+        f0_ceil=option.f0_ceil, channels_in_octave=40.0,
+        speed=dimension_ratio)
+
+    fixed = _fix_contour_np(np.asarray(cands), np.asarray(scores))
+    basic_f0 = _smooth_contour_np(fixed)
+
+    x_length = x.shape[0]
+    if option.frame_period == 1.0:
+        f0 = basic_f0
+        f0_length = basic_f0.shape[0]
+    else:
+        f0_length = config.get_samples_for_harvest(fs, x_length,
+                                                   option.frame_period)
+        tp = np.arange(f0_length) * option.frame_period / 1000.0
+        idx = np.minimum(basic_f0.shape[0] - 1,
+                         np.round(tp * 1000.0).astype(int))
+        f0 = basic_f0[idx]
+    temporal_positions = np.arange(f0_length) * option.frame_period / 1000.0
+    return jnp.asarray(temporal_positions, x.dtype), jnp.asarray(f0, x.dtype)
