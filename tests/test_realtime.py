@@ -1,0 +1,102 @@
+import numpy as np
+
+from world_tpu.models.realtime import StreamingSynthesizer
+
+
+def snr_db(ref, y):
+    return 10 * np.log10(np.sum(ref**2) / np.sum((ref - y) ** 2))
+
+
+def _run_all_at_once(gold, n_pointers=1, buffer_size=64):
+    """test.cpp variant 2: queue everything, 1 ring slot."""
+    fs = gold.scalar("fs")
+    f0 = gold["harvest_f0"]
+    sp = gold["cheaptrick_sp"]
+    ap = gold["d4c_ap"]
+    y_length = gold["synthesis2_y"].shape[0]
+    synth = StreamingSynthesizer(fs, 5.0, gold.scalar("fft_size"),
+                                 buffer_size, n_pointers)
+    out = np.zeros(y_length)
+    index = 0
+    i = 0
+    n = len(f0)
+    while i < n:
+        if synth.add_parameters(f0[i:], sp[i:], ap[i:]):
+            i = n
+        while synth.synthesis2():
+            take = min(buffer_size, y_length - index)
+            if take > 0:
+                out[index: index + take] = synth.buffer[:take]
+            index += buffer_size
+    return out
+
+
+def _run_frame_by_frame(gold, n_pointers=100, buffer_size=64):
+    """test.cpp variant 3: frame-by-frame streaming."""
+    fs = gold.scalar("fs")
+    f0 = gold["harvest_f0"]
+    sp = gold["cheaptrick_sp"]
+    ap = gold["d4c_ap"]
+    y_length = gold["synthesis3_y"].shape[0]
+    synth = StreamingSynthesizer(fs, 5.0, gold.scalar("fft_size"),
+                                 buffer_size, n_pointers)
+    out = np.zeros(y_length)
+    index = 0
+    for i in range(len(f0)):
+        assert synth.add_parameters(f0[i: i + 1], sp[i: i + 1],
+                                    ap[i: i + 1])
+        while synth.synthesis2():
+            take = min(buffer_size, y_length - index)
+            if take > 0:
+                out[index: index + take] = synth.buffer[:take]
+            index += buffer_size
+        assert not synth.is_locked()
+    return out
+
+
+def test_streaming_all_at_once(gold):
+    out = _run_all_at_once(gold)
+    ref = gold["synthesis2_y"]
+    s = snr_db(ref[np.abs(ref) > 0], out[np.abs(ref) > 0])
+    assert s > 80.0, s
+
+
+def test_streaming_frame_by_frame(gold):
+    out = _run_frame_by_frame(gold)
+    ref = gold["synthesis3_y"]
+    s = snr_db(ref[np.abs(ref) > 0], out[np.abs(ref) > 0])
+    assert s > 80.0, s
+
+
+def test_ring_full_and_lock_detection(gold):
+    fs = gold.scalar("fs")
+    f0 = gold["harvest_f0"]
+    sp = gold["cheaptrick_sp"]
+    ap = gold["d4c_ap"]
+    synth = StreamingSynthesizer(fs, 5.0, gold.scalar("fft_size"), 64, 1)
+    assert synth.add_parameters(f0[:3], sp[:3], ap[:3])
+    # ring of size 1 is now full
+    assert not synth.add_parameters(f0[3:6], sp[3:6], ap[3:6])
+    # consume everything renderable: queue still full + starved = locked,
+    # the documented deadlock the caller must Refresh out of
+    # (src/world/synthesisrealtime.h:125-139).
+    while synth.synthesis2():
+        pass
+    assert synth.is_locked()
+    synth.refresh()
+    assert synth.add_parameters(f0[3:6], sp[3:6], ap[3:6])
+
+
+def test_refresh_resets(gold):
+    fs = gold.scalar("fs")
+    f0 = gold["harvest_f0"]
+    sp = gold["cheaptrick_sp"]
+    ap = gold["d4c_ap"]
+    synth = StreamingSynthesizer(fs, 5.0, gold.scalar("fft_size"), 64, 100)
+    for i in range(10):
+        synth.add_parameters(f0[i: i + 1], sp[i: i + 1], ap[i: i + 1])
+    while synth.synthesis2():
+        pass
+    synth.refresh()
+    assert synth.synthesized_sample == 0
+    assert not synth.synthesis2()

@@ -1,0 +1,382 @@
+"""Streaming (real-time) synthesizer.
+
+Reference src/synthesisrealtime.cpp: parameters arrive in chunks through
+a ring buffer; Synthesis2 renders exactly buffer_size samples per call,
+carrying pulse phase and F0 across chunk boundaries.
+
+TPU mapping: the ring-buffer bookkeeping, chunk time base and pulse
+scheduling are host state (tiny, O(frames) work); the per-pulse
+response — two minimum-phase analyses + three FFTs — is a jitted device
+kernel shared in spirit with the batch path but with the realtime
+variants: no fractional time shift, +eps inside the aperiodic log, and
+the subtract-only second-half DC removal (src/synthesisrealtime.cpp:
+138-182).  Exact-mode RNG tracks the stream with a draw counter and
+jumps there in O(log n).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from ..ops import rng as rng_ops
+from ..ops.common import minimum_phase_spectrum
+from ..ops.matlab import fftshift
+
+
+def _np_interp1(x, y, xi):
+    """interp1 with histc semantics (matches ops.matlab.interp1), numpy."""
+    k = np.clip(np.searchsorted(x, xi, side="right"), 1, len(x) - 1)
+    x0 = x[k - 1]
+    s = (xi - x0) / (x[k] - x0)
+    return y[k - 1] + s * (y[k] - y[k - 1])
+
+
+def _dc_remover_half(n, dtype=np.float64):
+    """GetDCRemover(fft_size/2) (src/synthesisrealtime.cpp:428-440)."""
+    i = np.arange(n // 2)
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * (i + 1.0) / (1.0 + n))
+    w = w / (2.0 * w.sum())
+    return np.concatenate([w, w[::-1]]).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("fft_size",))
+def _response_kernel(env, ap_ratio, current_vuv, noise_draws, noise_size,
+                     dc_remover, *, fft_size):
+    """GetOneFrameSegment, realtime flavor
+    (src/synthesisrealtime.cpp:246-281)."""
+    dtype = env.dtype
+    half = fft_size // 2
+
+    logspec = jnp.log(env * (1.0 - ap_ratio)
+                      + config.K_MY_SAFE_GUARD_MINIMUM) / 2.0
+    mp = minimum_phase_spectrum(logspec, fft_size)
+    periodic = jnp.fft.irfft(mp, n=fft_size) * fft_size
+    periodic = fftshift(periodic)
+    dc = jnp.sum(periodic[half:])
+    upper = jnp.arange(fft_size) >= half
+    periodic = jnp.where(upper, periodic, 0.0) \
+        - dc * jnp.concatenate([jnp.zeros(half, dtype), dc_remover])
+    skip = (current_vuv <= 0.5) | (ap_ratio[0] > 0.999)
+    periodic = jnp.where(skip, 0.0, periodic)
+
+    i = jnp.arange(fft_size)
+    in_noise = i < noise_size
+    noise = jnp.where(in_noise, noise_draws, 0.0)
+    mean = jnp.sum(noise) / jnp.maximum(noise_size, 1)
+    noise = jnp.where(in_noise, noise - mean, 0.0)
+    noise_spec = jnp.fft.rfft(noise)
+    ap_log = jnp.where(
+        current_vuv != 0.0,
+        jnp.log(env * ap_ratio + config.K_MY_SAFE_GUARD_MINIMUM) / 2.0,
+        jnp.log(env) / 2.0)
+    mp_ap = minimum_phase_spectrum(ap_log, fft_size)
+    aperiodic = fftshift(jnp.fft.irfft(mp_ap * noise_spec, n=fft_size)
+                         * fft_size)
+
+    return (periodic * jnp.sqrt(noise_size.astype(dtype)) + aperiodic) \
+        / fft_size
+
+
+class _Chunk:
+    __slots__ = ("f0_length", "f0_origin", "spectrogram", "aperiodicity",
+                 "interpolated_vuv", "pulse_locations",
+                 "pulse_locations_index", "number_of_pulses", "start_sample")
+
+    def __init__(self):
+        self.number_of_pulses = 0
+        self.interpolated_vuv = None
+        self.pulse_locations = None
+        self.pulse_locations_index = None
+
+
+class StreamingSynthesizer:
+    """WorldSynthesizer / AddParameters / Synthesis2 / IsLocked
+    (reference src/world/synthesisrealtime.h, src/synthesisrealtime.cpp)."""
+
+    def __init__(self, fs, frame_period, fft_size, buffer_size,
+                 number_of_pointers, rng_mode="exact", dtype=np.float64):
+        self.fs = fs
+        self.frame_period = frame_period / 1000.0
+        self.fft_size = fft_size
+        self.buffer_size = buffer_size
+        self.number_of_pointers = number_of_pointers
+        self.rng_mode = rng_mode
+        self.dtype = dtype
+        self.dc_remover = jnp.asarray(_dc_remover_half(fft_size // 2, dtype))
+        self.buffer = np.zeros(buffer_size * 2 + fft_size, dtype)
+        self.chunks = {}
+        self.refresh()
+
+    # -- ring-buffer state ---------------------------------------------
+    def refresh(self):
+        """RefreshSynthesizer (src/synthesisrealtime.cpp:521-542)."""
+        self.chunks.clear()
+        self.handoff_phase = 0.0
+        self.handoff_f0 = 0.0
+        self.cumulative_frame = -1
+        self.last_location = 0
+        self.current_pointer = 0
+        self.current_pointer2 = 0
+        self.head_pointer = 0
+        self.handoff = 0
+        self.i = 0
+        self.synthesized_sample = 0
+        self.buffer[:] = 0.0
+        self._draw_counter = 0
+        self._fast_key = jax.random.PRNGKey(3)
+        self._fast_step = 0
+
+    def is_locked(self):
+        """IsLocked (src/synthesisrealtime.cpp:566-575)."""
+        full = (self.head_pointer - self.current_pointer2
+                == self.number_of_pointers)
+        starved = (self.synthesized_sample + self.buffer_size
+                   >= self.last_location)
+        return full and starved
+
+    def add_parameters(self, f0, spectrogram, aperiodicity):
+        """AddParameters (src/synthesisrealtime.cpp:480-519).
+        Returns False when the ring is full."""
+        if self.head_pointer - self.current_pointer2 \
+                == self.number_of_pointers:
+            return False
+        f0 = np.asarray(f0, self.dtype)
+        chunk = _Chunk()
+        chunk.f0_length = len(f0)
+        chunk.f0_origin = self.cumulative_frame + 1
+        self.cumulative_frame += len(f0)
+        chunk.spectrogram = np.asarray(spectrogram, self.dtype)
+        chunk.aperiodicity = np.asarray(aperiodicity, self.dtype)
+        self.chunks[self.head_pointer] = chunk
+
+        if self.cumulative_frame < 1:
+            self.handoff_f0 = f0[-1]
+            self.head_pointer += 1
+            self.handoff = 1
+            return True
+
+        start_sample = max(0, int(np.ceil(
+            (self.cumulative_frame - len(f0)) * self.frame_period * self.fs)))
+        end_sample = int(np.ceil(
+            self.cumulative_frame * self.frame_period * self.fs))
+        n = end_sample - start_sample
+        chunk.start_sample = start_sample
+        self._get_time_base(f0, chunk, start_sample, n)
+        # GetTimeBase stores the interpolated f0 into handoff_f0, but
+        # AddParameters immediately overwrites it with the raw last frame
+        # value (src/synthesisrealtime.cpp:372,515) — keep the effective one.
+        self.handoff_f0 = f0[-1]
+        self.head_pointer += 1
+        self.handoff = 1
+        return True
+
+    def _get_time_base(self, f0, chunk, start_sample, n):
+        """GetTimeBase (src/synthesisrealtime.cpp:341-378)."""
+        h = self.handoff
+        cum0 = max(0, self.cumulative_frame - len(f0))
+        coarse_time = np.empty(len(f0) + h)
+        coarse_f0 = np.empty(len(f0) + h)
+        coarse_vuv = np.empty(len(f0) + h)
+        if h:
+            coarse_f0[0] = self.handoff_f0
+            coarse_time[0] = cum0 * self.frame_period
+            coarse_vuv[0] = 0.0 if self.handoff_f0 == 0 else 1.0
+        coarse_time[h:] = (np.arange(len(f0)) + cum0 + h) * self.frame_period
+        coarse_f0[h:] = f0
+        coarse_vuv[h:] = np.where(f0 == 0.0, 0.0, 1.0)
+
+        time_axis = (np.arange(n) + start_sample) / self.fs
+        if0 = _np_interp1(coarse_time, coarse_f0, time_axis)
+        ivuv = _np_interp1(coarse_time, coarse_vuv, time_axis)
+        ivuv = np.where(ivuv > 0.5, 1.0, 0.0)
+        if0 = np.where(ivuv == 0.0, config.K_DEFAULT_F0, if0)
+        vuv_store = np.empty(n + 1)
+        vuv_store[:n] = ivuv
+        vuv_store[n] = ivuv[-1]
+        chunk.interpolated_vuv = vuv_store
+
+        # GetPulseLocationsForTimeBase (src/synthesisrealtime.cpp:298-339)
+        if h:
+            # Accumulate *starting from* handoff_phase so each step does a
+            # single rounding, exactly like the C++ running sum.
+            total = np.cumsum(np.concatenate(
+                [[self.handoff_phase], 2.0 * np.pi * if0[: n - 1 + h]
+                 / self.fs]))
+        else:
+            total = np.cumsum(2.0 * np.pi * if0 / self.fs)
+        self.handoff_phase = total[n - 1 + h]
+        wrap = np.mod(total, 2.0 * np.pi)
+        jumps = np.abs(np.diff(wrap)) > np.pi
+        pulse_samples = np.where(jumps)[0]
+        locs = time_axis[pulse_samples] - h / self.fs if len(pulse_samples) \
+            else np.empty(0)
+        # careful: time_axis index is i, but with handoff the pulse time is
+        # time_axis[i] - handoff/fs (src/synthesisrealtime.cpp:322-328)
+        chunk.pulse_locations = locs
+        idx = np.round(locs * self.fs).astype(np.int64)
+        chunk.pulse_locations_index = idx
+        chunk.number_of_pulses = len(idx)
+        if len(idx):
+            self.last_location = int(idx[-1])
+        self._last_interp_f0 = if0[-1]
+
+    # -- rendering -------------------------------------------------------
+    def _chunk(self, pointer):
+        return self.chunks.get(pointer)
+
+    def _seek(self, current_location):
+        """SeekSynthesizer (src/synthesisrealtime.cpp:101-117).
+
+        Note: the C++ caller at the end of Synthesis2 passes *samples*
+        where this expects seconds, making that call a no-op; we call
+        this with seconds only from the per-pulse path, matching the
+        effective behavior."""
+        frame = int(current_location / self.frame_period)
+        tmp_pointer = self.current_pointer2
+        for i in range(self.head_pointer - self.current_pointer2):
+            p = tmp_pointer + i
+            c = self._chunk(p)
+            if c.f0_origin <= frame < c.f0_origin + c.f0_length:
+                tmp_pointer = p
+                break
+        # ClearRingBuffer frees pulse arrays but keeps chunk metadata and
+        # the caller-owned parameter arrays (src/synthesisrealtime.cpp:
+        # 81-99); prune fully out-of-reach chunks to bound memory.
+        for p in range(self.current_pointer2, tmp_pointer):
+            c = self._chunk(p)
+            if c is not None:
+                c.number_of_pulses = 0
+                c.pulse_locations = None
+                c.pulse_locations_index = None
+        reach = min(self.current_pointer, tmp_pointer)
+        for p in [k for k in self.chunks if k < reach - 1]:
+            del self.chunks[p]
+        self.current_pointer2 = tmp_pointer
+
+    def _search(self, frame, which):
+        """SearchPointer (src/synthesisrealtime.cpp:119-136)."""
+        c = self._chunk(self.current_pointer2)
+        index = frame - c.f0_origin
+        arr = c.spectrogram if which == 0 else c.aperiodicity
+        front = arr[index]
+        if index == c.f0_length - 1:
+            nc = self._chunk(self.current_pointer2 + 1)
+            nxt = (nc.spectrogram if which == 0 else nc.aperiodicity)[0]
+        else:
+            nxt = arr[index + 1]
+        return front, nxt
+
+    def _render_pulse(self, noise_size, current_location):
+        """GetOneFrameSegment (src/synthesisrealtime.cpp:246-281)."""
+        t = current_location / self.fs
+        self._seek(t)
+        fp = self.frame_period
+        lo = int(t / fp)
+        hi = int(np.ceil(t / fp))
+        w = t / fp - lo
+        sf, sn = self._search(lo, 0)
+        af, an = self._search(lo, 1)
+        if lo == hi:
+            env = np.abs(sf)
+            ap = np.clip(af, 0.001, 1 - 1e-12) ** 2
+        else:
+            env = (1 - w) * np.abs(sf) + w * np.abs(sn)
+            ap = ((1 - w) * np.clip(af, 0.001, 1 - 1e-12)
+                  + w * np.clip(an, 0.001, 1 - 1e-12)) ** 2
+
+        # GetCurrentVUV (src/synthesisrealtime.cpp:230-241)
+        c = self._chunk(self.current_pointer)
+        start_sample = max(0, int(np.ceil(
+            (c.f0_origin - 1) * self.frame_period * self.fs)))
+        vuv = c.interpolated_vuv[current_location - start_sample + 1]
+
+        if self.rng_mode == "exact":
+            draws = np.zeros(self.fft_size, self.dtype)
+            if noise_size > 0:
+                block = rng_ops.randn_blocks_at(
+                    jnp.asarray([self._draw_counter]),
+                    min(noise_size, self.fft_size))[0]
+                draws[:min(noise_size, self.fft_size)] = np.asarray(block)
+            self._draw_counter += max(noise_size, 0)
+        elif self.rng_mode == "fast":
+            self._fast_step += 1
+            draws = np.asarray(jax.random.normal(
+                jax.random.fold_in(self._fast_key, self._fast_step),
+                (self.fft_size,), self.dtype))
+        else:
+            draws = np.zeros(self.fft_size, self.dtype)
+
+        resp = _response_kernel(
+            jnp.asarray(env, self.dtype), jnp.asarray(ap, self.dtype),
+            jnp.asarray(float(vuv), self.dtype), jnp.asarray(draws),
+            jnp.asarray(noise_size), self.dc_remover,
+            fft_size=self.fft_size)
+        return np.asarray(resp)
+
+    def _next_pulse_index(self):
+        """GetNextPulseLocationIndex (src/synthesisrealtime.cpp:380-393)."""
+        c = self._chunk(self.current_pointer)
+        if self.i < c.number_of_pulses - 1:
+            return int(c.pulse_locations_index[self.i + 1])
+        if self.current_pointer == self.head_pointer - 1:
+            return 0
+        for i in range(1, self.number_of_pointers):
+            c = self._chunk(self.current_pointer + i)
+            if c is not None and c.number_of_pulses != 0:
+                return int(c.pulse_locations_index[0])
+        return 0
+
+    def _update(self):
+        """UpdateSynthesizer (src/synthesisrealtime.cpp:395-413)."""
+        c = self._chunk(self.current_pointer)
+        if self.i < c.number_of_pulses - 1:
+            self.i += 1
+            return True
+        if self.current_pointer == self.head_pointer - 1:
+            return False
+        for i in range(1, self.number_of_pointers):
+            c = self._chunk(self.current_pointer + i)
+            if c is not None and c.number_of_pulses != 0:
+                self.i = 0
+                self.current_pointer += i
+                return True
+        return False
+
+    def synthesis2(self):
+        """Synthesis2 (src/synthesisrealtime.cpp:577-603).  On success the
+        first buffer_size samples of self.buffer are the new audio."""
+        # CheckSynthesizer (src/synthesisrealtime.cpp:415-426)
+        if self.synthesized_sample + self.buffer_size >= self.last_location:
+            return False
+        c = self._chunk(self.current_pointer)
+        while c is not None and c.number_of_pulses == 0:
+            if self.current_pointer == self.head_pointer:
+                break
+            self.current_pointer += 1
+            c = self._chunk(self.current_pointer)
+        if c is None or c.number_of_pulses == 0:
+            return False
+
+        bs, fft = self.buffer_size, self.fft_size
+        self.buffer[: bs + fft] = self.buffer[bs: 2 * bs + fft]
+
+        c = self._chunk(self.current_pointer)
+        current_location = int(c.pulse_locations_index[self.i])
+        while current_location < self.synthesized_sample + bs:
+            tmp = self._next_pulse_index()
+            noise_size = tmp - current_location
+            resp = self._render_pulse(noise_size, current_location)
+            offset = current_location - self.synthesized_sample - fft // 2 + 1
+            lo = max(0, -offset)
+            self.buffer[lo + offset: fft + offset] += resp[lo:]
+            current_location = tmp
+            if not self._update():
+                break
+        self.synthesized_sample += bs
+        # The reference calls SeekSynthesizer(synthesized_sample) here with
+        # samples where seconds are expected, so it never matches a frame
+        # and is a no-op (src/synthesisrealtime.cpp:601); keep that.
+        return True
