@@ -1,0 +1,55 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from world_tpu.parallel.pipeline import (make_batch_step, make_mesh,
+                                         pad_and_bucket)
+
+
+def test_mesh_and_sharded_step_matches_single_device(gold):
+    """Numerical results must be identical with and without sharding."""
+    assert len(jax.devices()) == 8
+    fs = gold.scalar("fs")
+    x = np.asarray(gold["x"][:4096], np.float64)
+    batch = np.stack([x * s for s in (1.0, 0.7, 0.5, 0.3)])
+
+    step_plain = make_batch_step(fs, 4096, rng_mode="none")
+    f0_p, sp_p, ap_p, y_p = step_plain(jnp.asarray(batch))
+
+    mesh = make_mesh(n_data=4, n_frame=2)
+    step_sharded = make_batch_step(fs, 4096, rng_mode="none", mesh=mesh)
+    xb = jax.device_put(jnp.asarray(batch),
+                        NamedSharding(mesh, P("data", None)))
+    f0_s, sp_s, ap_s, y_s = step_sharded(xb)
+
+    np.testing.assert_allclose(np.asarray(f0_p), np.asarray(f0_s), atol=0)
+    np.testing.assert_allclose(np.asarray(sp_p), np.asarray(sp_s),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_s), atol=1e-12)
+
+
+def test_pad_and_bucket():
+    ws = [np.ones(100), np.ones(900), np.ones(1500), np.ones(80)]
+    buckets = pad_and_bucket(ws, [128, 1024, 2048])
+    assert set(buckets) == {128, 1024, 2048}
+    arr, lengths, idx = buckets[128]
+    assert arr.shape == (2, 128)
+    assert list(lengths) == [100, 80]
+    assert list(idx) == [0, 3]
+    with pytest.raises(ValueError):
+        pad_and_bucket([np.ones(5000)], [128])
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = fn(*args)
+    for t in jax.tree_util.tree_leaves(out):
+        assert np.isfinite(np.asarray(t)).all()
+
+
+def test_graft_entry_multichip():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)

@@ -81,7 +81,8 @@ def _frame_kernel(x, fs, fft_size, q1, f0_floor, b_max, f0, position,
     spectrum = jnp.fft.rfft(waveform)
     power = spectrum.real**2 + spectrum.imag**2
     power = common.dc_correction(power, f0, fs, fft_size)
-    power = common.linear_smoothing(power, f0 * 2.0 / 3.0, fs, fft_size, b_max)
+    width = jnp.minimum(f0, 1200.0) * 2.0 / 3.0
+    power = common.linear_smoothing(power, width, fs, fft_size, b_max)
     power = power + jnp.abs(spec_dither) * config.K_EPS
     return _smoothing_with_recovery(power, f0, fs, fft_size, q1)
 
@@ -93,9 +94,12 @@ def _cheap_trick_impl(x, temporal_positions, f0, *, fs, fft_size, q1,
     dtype = x.dtype
     half = fft_size // 2
     f0_floor = config.get_f0_floor_for_cheaptrick(fs, fft_size)
-    # Static bound on the smoothing mirror: effective f0 <= fs (window half
-    # length >= 2 requires f0 <= 0.75*fs; kDefaultF0 also bounded).
-    b_max = int((2.0 * fs / 3.0) * fft_size / fs) + 1
+    # Static bound on the smoothing mirror.  Widths are 2*f0/3; F0 tracks
+    # are bounded by kCeilF0*1.1 (and kDefaultF0=500 for unvoiced), so a
+    # 1200 Hz cap is generous while keeping the (bins, b_max) windowed-sum
+    # temporaries small.  Widths are clamped to the cap for safety.
+    f0_cap = 1200.0
+    b_max = int((2.0 * f0_cap / 3.0) * fft_size / fs) + 2
 
     f0_eff = jnp.where(f0 <= f0_floor, config.K_DEFAULT_F0, f0).astype(dtype)
     win_lens = 2 * matlab_round(1.5 * fs / f0_eff) + 1

@@ -82,7 +82,8 @@ def _coarse_aperiodicity(static_group_delay, fs_t, fft_size, n_bands, window,
                          window_length, dtype):
     """Per-band sorted cumulative power tail of the windowed group delay
     (src/d4c.cpp:194-225).  vmapped over bands; sort via jnp.sort."""
-    boundary = matlab_round(fft_size * 8.0 / window_length)
+    # static: matlab_round of positive static operands
+    boundary = int(fft_size * 8.0 / window_length + 0.5)
     half_window = window_length // 2
     half = fft_size // 2
 
@@ -93,20 +94,27 @@ def _coarse_aperiodicity(static_group_delay, fs_t, fft_size, n_bands, window,
         seg = jax.lax.dynamic_slice(static_group_delay, (start,),
                                     (window_length,)) * window
         spec = jnp.fft.rfft(seg, n=fft_size)
-        power = jnp.sort(spec.real**2 + spec.imag**2)
-        cum = jnp.cumsum(power)
-        return 10.0 * jnp.log10(cum[half - boundary - 1] / cum[half])
+        power = spec.real**2 + spec.imag**2
+        # The reference sorts and reads the cumulative tail
+        # (src/d4c.cpp:217-222): cum[half-boundary-1]/cum[half] ==
+        # 1 - sum(top boundary+1 values)/total.  top_k is far cheaper
+        # than a full sort on TPU.
+        top = jax.lax.top_k(power, int(boundary) + 1)[0]
+        total = jnp.sum(power)
+        return 10.0 * jnp.log10((total - jnp.sum(top)) / total)
 
     return jax.vmap(one_band)(jnp.arange(n_bands))
 
 
 def _d4c_body_frame(x, fs_t, fft_size_d4c, n_bands, window, window_length,
-                    out_fft_size, f0, position, dithers):
+                    b_max, f0, position, dithers):
     """One frame of D4CGeneralBody (src/d4c.cpp:293-321): coarse
     aperiodicity values per band, before the frequency-axis interp."""
     dtype = x.dtype
     half = fft_size_d4c // 2
-    b_max = fft_size_d4c // 2 + 2  # covers smoothing widths up to fs/2
+    # Smoothing widths are f0 and f0/2 with f0 <= ~kCeilF0*1.1; cap at
+    # 1200 Hz to keep the windowed-sum temporaries small (see cheaptrick).
+    f0 = jnp.minimum(f0, 1200.0)
 
     c1 = _centroid(x, fs_t, fft_size_d4c, f0, position - 0.25 / f0,
                    dithers[0])
@@ -122,6 +130,9 @@ def _d4c_body_frame(x, fs_t, fft_size_d4c, n_bands, window, window_length,
     smoothed = common.linear_smoothing(smoothed, f0, fs_t, fft_size_d4c,
                                        b_max)
 
+    # Guard the division for float32: the smoothed power of a silent
+    # window can underflow to 0 (float64 never gets near tiny).
+    smoothed = jnp.maximum(smoothed, jnp.finfo(dtype).tiny * 1e8)
     sgd = static_centroid / smoothed
     sgd = common.linear_smoothing(sgd, f0 / 2.0, fs_t, fft_size_d4c, b_max)
     sgd = sgd - common.linear_smoothing(sgd, f0, fs_t, fft_size_d4c, b_max)
@@ -193,8 +204,9 @@ def _d4c_impl(x, temporal_positions, f0, fs_t, *, fs, fft_size, threshold,
         body_dither = jnp.zeros((n_frames, 3, max_body), dtype)
 
     padb = jnp.zeros((n_frames, 3, fft_d4c - max_body), dtype)
+    b_max = int(1200.0 * fft_d4c / fs) + 2
     coarse = jax.vmap(lambda f, p, d: _d4c_body_frame(
-        x, fs_t, fft_d4c, n_bands, window, window_length, fft_size, f, p, d))(
+        x, fs_t, fft_d4c, n_bands, window, window_length, b_max, f, p, d))(
             f0_body, temporal_positions,
             jnp.concatenate([body_dither, padb], 2))
 

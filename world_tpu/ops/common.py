@@ -9,6 +9,7 @@ consumed (see linear_smoothing below).
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -89,6 +90,12 @@ def linear_smoothing(spectrum, width, fs, fft_size, b_max):
     prefix cancels and results match the reference bit-for-bit in spirit
     (and to <1e-12 numerically — golden-tested).
 
+    float64 follows the reference's cumulative-integral formulation (same
+    rounding as the C++ running sum).  float32 cannot: the cumsum
+    difference cancels catastrophically (negative power -> NaN after
+    log), so it evaluates the algebraically identical *local* windowed
+    sum over at most b_max+1 bins.
+
     ``width`` may be a traced scalar (per-frame).  b_max must satisfy
     b_max >= int(width*fft_size/fs) + 1 for every width used.
     """
@@ -96,12 +103,39 @@ def linear_smoothing(spectrum, width, fs, fft_size, b_max):
     dtype = spectrum.dtype
     delta = jnp.asarray(fs, dtype) / fft_size
     mirrored = _mirror_extend(spectrum, half, b_max)
-    segment = jnp.cumsum(mirrored * delta, axis=-1)
     origin = -(b_max - 0.5) * delta
     freq = jnp.arange(half + 1, dtype=dtype) * delta
-    low = interp1q(origin, delta, segment, freq - width / 2.0)
-    high = interp1q(origin, delta, segment, freq + width / 2.0)
-    return (high - low) / width
+
+    if dtype == jnp.float64:
+        segment = jnp.cumsum(mirrored * delta, axis=-1)
+        low = interp1q(origin, delta, segment, freq - width / 2.0)
+        high = interp1q(origin, delta, segment, freq + width / 2.0)
+        return (high - low) / width
+
+    # Local form: integral over [f - w/2, f + w/2] of the mirrored
+    # staircase.  Because queries sit on the same Delta grid as the bins,
+    # the fractional end weights are constant across output bins and the
+    # whole operation is a box convolution: out[i] = sum_r c[r] *
+    # mirrored[i + K + r].  Evaluate as b_max shifted-slice FMAs (fast on
+    # TPU) instead of a 2-D gather.
+    s_l = (-width / 2.0 - origin) / delta          # t_l at bin 0
+    s_h = s_l + width / delta
+    k_l = jnp.floor(s_l).astype(jnp.int32)
+    k_h = jnp.floor(s_h).astype(jnp.int32)
+    fl = s_l - k_l
+    fh = s_h - k_h
+    span = k_h - k_l                                # <= b_max
+    rho = jnp.arange(b_max + 2, dtype=dtype)
+    weights = (jnp.where(rho <= span - 1, 1.0, 0.0)
+               - fl * (rho == 0) + fh * (rho == span))
+
+    def body(r, acc):
+        seg = jax.lax.dynamic_slice(mirrored, (k_l + 1 + r,), (half + 1,))
+        return acc + weights[r] * seg
+
+    total = jax.lax.fori_loop(
+        0, b_max + 2, body, jnp.zeros(half + 1, dtype))
+    return jnp.maximum(total * delta / width, 0.0)
 
 
 def minimum_phase_spectrum(log_spectrum, fft_size):

@@ -1,0 +1,127 @@
+"""Batched, sharded analysis/synthesis pipeline.
+
+The reference processes one utterance per process invocation; scaling is
+"run test.exe per file".  Here the corpus axis is a first-class mesh
+axis: utterances are padded/bucketed to fixed lengths, batched with
+vmap, and sharded over a ('data', 'frame') mesh — utterances across
+'data', frame-major spectral tensors across 'frame'.  XLA inserts the
+collectives (the waveform is all-gathered along 'frame' where per-frame
+kernels gather arbitrary windows; metric reductions ride psum).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import config
+from ..models.cheaptrick import _cheap_trick_impl
+from ..models.d4c import _d4c_impl
+from ..models.dio import _dio_impl
+from ..models.stonemask import _stone_mask_impl
+from ..models.synthesis import _synthesis_impl
+
+
+def make_mesh(n_data=None, n_frame=1, devices=None):
+    """Create a ('data', 'frame') mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_frame
+    import numpy as np
+    dev = np.asarray(devices[: n_data * n_frame]).reshape(n_data, n_frame)
+    return Mesh(dev, ("data", "frame"))
+
+
+def pad_and_bucket(waveforms, bucket_sizes):
+    """Pad ragged utterances to the smallest admissible bucket length.
+
+    Returns a dict bucket_length -> (stacked array, lengths, indices) so
+    each bucket compiles once.  Host-side packing; the reference has no
+    analogue (it is one-file-at-a-time).
+    """
+    import numpy as np
+    buckets = {}
+    for i, w in enumerate(waveforms):
+        n = len(w)
+        for b in sorted(bucket_sizes):
+            if n <= b:
+                buckets.setdefault(b, []).append((i, w))
+                break
+        else:
+            raise ValueError(f"utterance {i} longer than largest bucket")
+    out = {}
+    for b, items in buckets.items():
+        arr = np.zeros((len(items), b), np.float32)
+        lengths = np.zeros(len(items), np.int32)
+        idx = []
+        for row, (i, w) in enumerate(items):
+            arr[row, : len(w)] = w
+            lengths[row] = len(w)
+            idx.append(i)
+        out[b] = (arr, lengths, np.asarray(idx))
+    return out
+
+
+def make_batch_step(fs, x_length, frame_period=5.0, rng_mode="fast",
+                    mesh=None, f0_method="dio"):
+    """Build a jitted batched analysis+synthesis step.
+
+    Returns step(x_batch (B, x_length)) ->
+    (f0 (B,F), sp (B,F,K), ap (B,F,K), y (B,y_length)).
+
+    With ``mesh`` given, intermediate tensors carry sharding constraints:
+    batch over 'data', frames over 'frame'.
+    """
+    option = config.CheapTrickOption().resolve(fs)
+    fft_size = option.fft_size
+    f0_length = config.get_samples_for_dio(fs, x_length, frame_period)
+    y_length = int((f0_length - 1) * frame_period / 1000.0 * fs) + 1
+
+    def constrain(t, spec):
+        if mesh is None:
+            return t
+        return jax.lax.with_sharding_constraint(
+            t, NamedSharding(mesh, spec))
+
+    def one(x, fs_t):
+        tp, f0 = _dio_impl(x, fs=fs, frame_period=frame_period,
+                           f0_floor=config.K_FLOOR_F0,
+                           f0_ceil=config.K_CEIL_F0,
+                           channels_in_octave=2.0, speed=1,
+                           allowed_range=0.1)
+        f0 = _stone_mask_impl(x, tp, f0, fs_t, fs=fs)
+        sp = _cheap_trick_impl(x, tp, f0, fs=fs, fft_size=fft_size,
+                               q1=option.q1, rng_mode=rng_mode)
+        ap, _ = _d4c_impl(x, tp, f0, fs_t, fs=fs, fft_size=fft_size,
+                          threshold=config.K_THRESHOLD, rng_mode=rng_mode)
+        y = _synthesis_impl(f0, sp, ap, fs_t, fs=fs, fft_size=fft_size,
+                            frame_period=frame_period, y_length=y_length,
+                            max_pulses=min(y_length,
+                                           int(y_length / fs * 1500) + 64),
+                            rng_mode=rng_mode)
+        return f0, sp, ap, y
+
+    def step(x_batch):
+        x_batch = constrain(x_batch, P("data", None))
+        fs_t = jnp.asarray(float(fs), x_batch.dtype)
+        f0, sp, ap, y = jax.vmap(lambda x: one(x, fs_t))(x_batch)
+        f0 = constrain(f0, P("data", "frame"))
+        sp = constrain(sp, P("data", "frame", None))
+        ap = constrain(ap, P("data", "frame", None))
+        y = constrain(y, P("data", None))
+        return f0, sp, ap, y
+
+    return jax.jit(step)
+
+
+def corpus_metrics(f0_batch, lengths, fs, frame_period):
+    """Corpus-level reductions (voiced ratio, mean F0) — the kind of
+    statistic the distributed runs psum across hosts."""
+    voiced = f0_batch > 0
+    return {
+        "voiced_frames": jnp.sum(voiced),
+        "mean_f0": jnp.sum(jnp.where(voiced, f0_batch, 0.0))
+        / jnp.maximum(jnp.sum(voiced), 1),
+        "audio_seconds": jnp.sum(lengths) / fs,
+    }

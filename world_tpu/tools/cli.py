@@ -1,0 +1,298 @@
+"""Command-line tools mirroring the reference examples.
+
+Subcommands (reference /root/reference/examples/):
+  f0analysis        -- Harvest F0 -> .f0 file   (parameter_io/f0analysis.cpp)
+  spanalysis        -- CheapTrick -> .sp file, optional codec -d dims
+                       (parameter_io & codec_test spanalysis.cpp)
+  apanalysis        -- D4C -> .ap file, optional codec -c
+                       (parameter_io & codec_test apanalysis.cpp)
+  readandsynthesis  -- three files -> wav, auto-decoding coded params
+                       (readandsynthesis.cpp; NOD header selects decoding)
+  analysis          -- raw-binary dump pipeline (analysis_synthesis/analysis.cpp)
+  synthesis         -- raw-binary synthesis (analysis_synthesis/synthesis.cpp)
+  test              -- full pipeline with manipulation + 3 synthesis
+                       variants (test/test.cpp)
+
+Usage: python -m world_tpu.tools <subcommand> ...
+"""
+
+import argparse
+import struct
+import sys
+
+import numpy as np
+
+
+def _force_x64():
+    """Run in float64 where the backend allows it (CPU); accelerators
+    without f64 FFT support (TPU) run the float32 fast path.
+
+    WORLD_TPU_PLATFORM overrides the JAX platform (some TPU plugins
+    ignore the standard JAX_PLATFORMS variable)."""
+    import os
+
+    import jax
+    override = os.environ.get("WORLD_TPU_PLATFORM")
+    if override:
+        jax.config.update("jax_platforms", override)
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_enable_x64", True)
+
+
+def _read_wav(path):
+    from ..io.audio import wavread
+    return wavread(path)
+
+
+def cmd_f0analysis(argv):
+    p = argparse.ArgumentParser(prog="f0analysis",
+                                description="F0 estimation by Harvest")
+    p.add_argument("input")
+    p.add_argument("-f", dest="f0_floor", type=float, default=71.0,
+                   help="floor of frequency range (Hz)")
+    p.add_argument("-c", dest="f0_ceil", type=float, default=800.0,
+                   help="ceil of frequency range (Hz)")
+    p.add_argument("-s", dest="shift", type=float, default=5.0,
+                   help="shift length (ms)")
+    p.add_argument("-o", dest="output", default="output.f0")
+    p.add_argument("-t", dest="text", action="store_true",
+                   help="write text format")
+    a = p.parse_args(argv)
+    _force_x64()
+    from .. import HarvestOption, harvest
+    from ..io.parameterio import write_f0
+    x, fs, _ = _read_wav(a.input)
+    tp, f0 = harvest(x, fs, HarvestOption(f0_floor=a.f0_floor,
+                                          f0_ceil=a.f0_ceil,
+                                          frame_period=a.shift))
+    write_f0(a.output, np.asarray(f0), a.shift,
+             temporal_positions=np.asarray(tp), text=a.text)
+
+
+def cmd_spanalysis(argv):
+    p = argparse.ArgumentParser(prog="spanalysis",
+                                description="CheapTrick spectral envelope")
+    p.add_argument("input")
+    p.add_argument("f0file")
+    p.add_argument("-f", dest="fft_size", type=int, default=0)
+    p.add_argument("-q", dest="q1", type=float, default=-0.15)
+    p.add_argument("-d", dest="dims", type=int, default=0,
+                   help="number of coding coefficients (0 = no coding)")
+    p.add_argument("-o", dest="output", default="output.sp")
+    a = p.parse_args(argv)
+    _force_x64()
+    from .. import CheapTrickOption, cheap_trick
+    from ..models.codec import code_spectral_envelope
+    from ..io.parameterio import (get_header_information, read_f0,
+                                  write_spectral_envelope)
+    x, fs, _ = _read_wav(a.input)
+    tp, f0 = read_f0(a.f0file)
+    frame_period = get_header_information(a.f0file, "FP  ")
+    option = CheapTrickOption(q1=a.q1, fft_size=a.fft_size).resolve(fs)
+    sp = np.asarray(cheap_trick(x, fs, tp, f0, option))
+    if a.dims:
+        coded = np.asarray(code_spectral_envelope(sp, fs, a.dims,
+                                                  option.fft_size))
+        write_spectral_envelope(a.output, coded, fs, frame_period,
+                                option.fft_size, a.dims)
+    else:
+        write_spectral_envelope(a.output, sp, fs, frame_period,
+                                option.fft_size, 0)
+
+
+def cmd_apanalysis(argv):
+    p = argparse.ArgumentParser(prog="apanalysis",
+                                description="D4C band aperiodicity")
+    p.add_argument("input")
+    p.add_argument("f0file")
+    p.add_argument("-f", dest="fft_size", type=int, default=0)
+    p.add_argument("-t", dest="threshold", type=float, default=0.85)
+    p.add_argument("-c", dest="coded", action="store_true",
+                   help="store coded (coarse) aperiodicity")
+    p.add_argument("-o", dest="output", default="output.ap")
+    a = p.parse_args(argv)
+    _force_x64()
+    from .. import D4COption, d4c, get_fft_size_for_cheaptrick
+    from ..models.codec import code_aperiodicity
+    from ..io.parameterio import (get_header_information, read_f0,
+                                  write_aperiodicity)
+    x, fs, _ = _read_wav(a.input)
+    tp, f0 = read_f0(a.f0file)
+    frame_period = get_header_information(a.f0file, "FP  ")
+    fft_size = a.fft_size or get_fft_size_for_cheaptrick(fs)
+    ap = np.asarray(d4c(x, fs, tp, f0, fft_size,
+                        D4COption(threshold=a.threshold)))
+    if a.coded:
+        coded = np.asarray(code_aperiodicity(ap, fs, fft_size))
+        write_aperiodicity(a.output, coded, fs, frame_period, fft_size,
+                           coded.shape[1])
+    else:
+        write_aperiodicity(a.output, ap, fs, frame_period, fft_size, 0)
+
+
+def cmd_readandsynthesis(argv):
+    p = argparse.ArgumentParser(prog="readandsynthesis",
+                                description="synthesize from parameters")
+    p.add_argument("f0file")
+    p.add_argument("spfile")
+    p.add_argument("apfile")
+    p.add_argument("-o", dest="output", default="output.wav")
+    a = p.parse_args(argv)
+    _force_x64()
+    from .. import get_number_of_aperiodicities, synthesis
+    from ..models.codec import decode_aperiodicity, decode_spectral_envelope
+    from ..io.audio import wavwrite
+    from ..io.parameterio import (read_aperiodicity, read_f0,
+                                  read_spectral_envelope)
+    tp, f0 = read_f0(a.f0file)
+    sp, meta = read_spectral_envelope(a.spfile)
+    ap, ap_meta = read_aperiodicity(a.apfile)
+    fs, fft_size = meta["fs"], meta["fft_size"]
+    frame_period = meta["frame_period"]
+    if meta["number_of_dimensions"]:
+        sp = np.asarray(decode_spectral_envelope(sp, fs, fft_size))
+    if ap_meta["number_of_dimensions"]:
+        assert ap.shape[1] == get_number_of_aperiodicities(fs)
+        ap = np.asarray(decode_aperiodicity(ap, fs, fft_size))
+    y_length = int(len(f0) * frame_period / 1000.0 * fs)
+    y = np.asarray(synthesis(f0, sp, ap, fs, frame_period,
+                             y_length=y_length, fft_size=fft_size))
+    wavwrite(y, fs, a.output)
+
+
+def cmd_analysis(argv):
+    """Raw-binary pipeline (examples/analysis_synthesis/analysis.cpp):
+    Dio+StoneMask -> CheapTrick -> D4C, dumped as headerless doubles
+    (spectrogram file carries int32 fs + float64 frame_period)."""
+    p = argparse.ArgumentParser(prog="analysis")
+    p.add_argument("input")
+    p.add_argument("f0file")
+    p.add_argument("spfile")
+    p.add_argument("apfile")
+    a = p.parse_args(argv)
+    _force_x64()
+    from .. import analyze
+    x, fs, _ = _read_wav(a.input)
+    params = analyze(x, fs, f0_method="dio")
+    np.asarray(params.f0, np.float64).tofile(a.f0file)
+    with open(a.spfile, "wb") as f:
+        f.write(struct.pack("<i", fs))
+        f.write(struct.pack("<d", params.frame_period))
+        f.write(np.asarray(params.spectrogram, np.float64).tobytes())
+    np.asarray(params.aperiodicity, np.float64).tofile(a.apfile)
+
+
+def cmd_synthesis(argv):
+    """Raw-binary synthesis (examples/analysis_synthesis/synthesis.cpp)."""
+    p = argparse.ArgumentParser(prog="synthesis")
+    p.add_argument("f0file")
+    p.add_argument("spfile")
+    p.add_argument("apfile")
+    p.add_argument("output")
+    a = p.parse_args(argv)
+    _force_x64()
+    from .. import synthesis as synth
+    from ..io.audio import wavwrite
+    f0 = np.fromfile(a.f0file)
+    with open(a.spfile, "rb") as f:
+        fs = struct.unpack("<i", f.read(4))[0]
+        frame_period = struct.unpack("<d", f.read(8))[0]
+        sp = np.frombuffer(f.read(), np.float64).reshape(len(f0), -1)
+    ap = np.fromfile(a.apfile).reshape(len(f0), -1)
+    fft_size = 2 * (sp.shape[1] - 1)
+    y = np.asarray(synth(f0, sp, ap, fs, frame_period, fft_size=fft_size))
+    wavwrite(y, fs, a.output)
+
+
+def cmd_test(argv):
+    """Full pipeline like test/test.cpp: analysis -> optional F0 scaling /
+    spectral stretching -> batch synthesis + both streaming variants."""
+    p = argparse.ArgumentParser(prog="test")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("f0_scale", type=float, nargs="?", default=1.0)
+    p.add_argument("spec_stretch", type=float, nargs="?", default=1.0)
+    a = p.parse_args(argv)
+    _force_x64()
+    import time
+
+    from .. import analyze, synthesize
+    from ..models.realtime import StreamingSynthesizer
+    from ..io.audio import wavwrite
+    x, fs, nbit = _read_wav(a.input)
+    print(f"File information\nSampling : {fs} Hz {nbit} Bit\n"
+          f"Length {len(x)} [sample]\nLength {len(x) / fs} [sec]")
+
+    t0 = time.time()
+    params = analyze(x, fs)
+    print(f"Analysis: {(time.time() - t0) * 1000:.0f} [msec]")
+
+    # ParameterModification (test/test.cpp:221-258)
+    f0 = np.asarray(params.f0) * a.f0_scale
+    sp = np.asarray(params.spectrogram)
+    if a.spec_stretch != 1.0:
+        half = sp.shape[1] - 1
+        src = np.minimum((np.arange(half + 1) / a.spec_stretch).astype(int),
+                         half)
+        sp = sp[:, src]
+    ap = np.asarray(params.aperiodicity)
+
+    t0 = time.time()
+    y = np.asarray(synthesize(
+        type(params)(params.temporal_positions, f0, sp, ap, fs,
+                     params.frame_period, params.fft_size)))
+    print(f"Synthesis 1: {(time.time() - t0) * 1000:.0f} [msec]")
+    wavwrite(y, fs, "01" + a.output)
+
+    for variant, (slots, chunked) in (("02", (1, False)),
+                                      ("03", (100, True))):
+        t0 = time.time()
+        synth = StreamingSynthesizer(fs, params.frame_period,
+                                     params.fft_size, 64, slots)
+        out = np.zeros(len(y))
+        index = 0
+        if chunked:
+            for i in range(len(f0)):
+                synth.add_parameters(f0[i: i + 1], sp[i: i + 1],
+                                     ap[i: i + 1])
+                while synth.synthesis2():
+                    take = min(64, len(out) - index)
+                    if take > 0:
+                        out[index: index + take] = synth.buffer[:take]
+                    index += 64
+        else:
+            i = 0
+            while i < len(f0):
+                if synth.add_parameters(f0[i:], sp[i:], ap[i:]):
+                    i = len(f0)
+                while synth.synthesis2():
+                    take = min(64, len(out) - index)
+                    if take > 0:
+                        out[index: index + take] = synth.buffer[:take]
+                    index += 64
+        print(f"Synthesis {variant}: {(time.time() - t0) * 1000:.0f} [msec]")
+        wavwrite(out, fs, variant + a.output)
+    print("complete.")
+
+
+COMMANDS = {
+    "f0analysis": cmd_f0analysis,
+    "spanalysis": cmd_spanalysis,
+    "apanalysis": cmd_apanalysis,
+    "readandsynthesis": cmd_readandsynthesis,
+    "analysis": cmd_analysis,
+    "synthesis": cmd_synthesis,
+    "test": cmd_test,
+}
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] not in COMMANDS:
+        print(__doc__)
+        return 1
+    return COMMANDS[argv[0]](argv[1:]) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
