@@ -1,0 +1,69 @@
+import json
+import os
+
+import numpy as np
+
+from world_tpu.io.audio import wavwrite
+from world_tpu.utils.corpus import CorpusRunner
+from world_tpu.utils import distributed
+
+
+def _make_wavs(tmp_path, n=3, fs=8000):
+    paths = []
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        t = np.arange(4000) / fs
+        x = 0.4 * np.sin(2 * np.pi * (120 + 10 * i) * t) \
+            + 0.01 * rng.randn(4000)
+        p = tmp_path / f"utt{i}.wav"
+        wavwrite(x, fs, str(p))
+        paths.append(str(p))
+    return paths
+
+
+def test_corpus_run_and_resume(tmp_path):
+    paths = _make_wavs(tmp_path)
+    out = tmp_path / "out"
+    runner = CorpusRunner(str(out), f0_method="dio", rng_mode="none",
+                          log=lambda *a: None)
+    m = runner.run(paths)
+    assert m["utterances_done"] == 3
+    assert m["utterances_failed"] == 0
+    for i in range(3):
+        for ext in (".f0", ".sp", ".ap"):
+            assert (out / f"utt{i}{ext}").exists()
+    # resume: nothing re-processed
+    runner2 = CorpusRunner(str(out), f0_method="dio", rng_mode="none",
+                           log=lambda *a: None)
+    m2 = runner2.run(paths)
+    assert m2["utterances_done"] == 0
+    assert m2["utterances_skipped"] == 3
+
+
+def test_corpus_records_failures(tmp_path):
+    paths = _make_wavs(tmp_path, n=1)
+    bad = tmp_path / "broken.wav"
+    bad.write_bytes(b"not a wav at all")
+    out = tmp_path / "out"
+    runner = CorpusRunner(str(out), f0_method="dio", rng_mode="none",
+                          max_retries=1, log=lambda *a: None)
+    m = runner.run([str(bad)] + paths)
+    assert m["utterances_failed"] == 1
+    assert m["utterances_done"] == 1
+    recs = [json.loads(line) for line in
+            open(out / "checkpoint.jsonl")]
+    statuses = {r["utterance"]: r["status"] for r in recs}
+    assert statuses["broken.wav"] == "failed"
+    assert statuses["utt0.wav"] == "ok"
+
+
+def test_allreduce_metrics():
+    m = distributed.allreduce_metrics({"frames": 100, "note": "x"})
+    assert m["frames"] == 100.0
+
+
+def test_shard_utterances():
+    parts = [distributed.shard_utterances(list(range(10)), i, 3)
+             for i in range(3)]
+    assert sorted(sum(parts, [])) == list(range(10))
+    assert all(len(p) >= 3 for p in parts)

@@ -16,6 +16,7 @@ import dataclasses
 
 import jax.numpy as jnp
 
+from . import io  # noqa: F401  (world_tpu.io.audio / .parameterio)
 from .config import (CheapTrickOption, D4COption, DioOption, HarvestOption,
                      get_f0_floor_for_cheaptrick, get_fft_size_for_cheaptrick,
                      get_number_of_aperiodicities, get_samples_for_dio,

@@ -1,0 +1,3 @@
+from . import audio, parameterio
+
+__all__ = ["audio", "parameterio"]

@@ -1,0 +1,130 @@
+"""Corpus-scale analysis jobs: checkpoint/resume, retries, metrics.
+
+The reference's failure handling is wav-header validation and the
+streaming deadlock detector; its persistence is the tagged parameter
+files (reference tools/parameterio.cpp).  At corpus scale the new
+framework adds what the single-file C++ never needed: a job runner that
+records completed utterances so a preempted run resumes where it left
+off, retries transient per-utterance failures, and reports structured
+throughput metrics (frames/s, aggregate real-time factor) per shard.
+"""
+
+import json
+import os
+import time
+import traceback
+
+import numpy as np
+
+
+class CorpusCheckpoint:
+    """Append-only JSONL record of completed utterances."""
+
+    def __init__(self, path):
+        self.path = path
+        self.done = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    self.done[rec["utterance"]] = rec
+
+    def is_done(self, utterance):
+        return utterance in self.done
+
+    def mark(self, utterance, **info):
+        rec = {"utterance": utterance, "time": time.time(), **info}
+        self.done[utterance] = rec
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+class CorpusRunner:
+    """Analyze a list of wav files into tagged parameter files.
+
+    Per-utterance failures are retried ``max_retries`` times, then
+    recorded as failed (the job continues).  Completed work is skipped
+    on resume via the checkpoint.
+    """
+
+    def __init__(self, out_dir, frame_period=5.0, f0_method="dio",
+                 rng_mode="fast", max_retries=2, checkpoint=None,
+                 log=print):
+        self.out_dir = out_dir
+        self.frame_period = frame_period
+        self.f0_method = f0_method
+        self.rng_mode = rng_mode
+        self.max_retries = max_retries
+        os.makedirs(out_dir, exist_ok=True)
+        self.checkpoint = CorpusCheckpoint(
+            checkpoint or os.path.join(out_dir, "checkpoint.jsonl"))
+        self.log = log
+
+    def _process_one(self, wav_path):
+        from .. import analyze
+        from ..io.audio import wavread
+        from ..io.parameterio import (write_aperiodicity, write_f0,
+                                      write_spectral_envelope)
+
+        x, fs, _ = wavread(wav_path)
+        params = analyze(x, fs, self.frame_period, f0_method=self.f0_method,
+                         rng_mode=self.rng_mode)
+        stem = os.path.join(
+            self.out_dir,
+            os.path.splitext(os.path.basename(wav_path))[0])
+        write_f0(stem + ".f0", np.asarray(params.f0), self.frame_period)
+        write_spectral_envelope(stem + ".sp",
+                                np.asarray(params.spectrogram), fs,
+                                self.frame_period, params.fft_size)
+        write_aperiodicity(stem + ".ap", np.asarray(params.aperiodicity),
+                           fs, self.frame_period, params.fft_size)
+        return len(x) / fs, params.f0.shape[0]
+
+    def run(self, wav_paths):
+        """Returns a metrics dict; individual failures are recorded, not
+        raised."""
+        t_start = time.time()
+        audio_seconds = 0.0
+        frames = 0
+        n_done = n_skipped = n_failed = 0
+        for path in wav_paths:
+            key = os.path.basename(path)
+            if self.checkpoint.is_done(key):
+                n_skipped += 1
+                continue
+            err = None
+            for attempt in range(self.max_retries + 1):
+                try:
+                    secs, nf = self._process_one(path)
+                    self.checkpoint.mark(key, status="ok", seconds=secs,
+                                         frames=nf)
+                    audio_seconds += secs
+                    frames += nf
+                    n_done += 1
+                    err = None
+                    break
+                except Exception as e:  # noqa: BLE001 — retry then record
+                    err = f"{type(e).__name__}: {e}"
+                    self.log(f"[corpus] {key} attempt {attempt + 1} "
+                             f"failed: {err}")
+                    traceback.print_exc()
+            if err is not None:
+                self.checkpoint.mark(key, status="failed", error=err)
+                n_failed += 1
+        wall = time.time() - t_start
+        metrics = {
+            "utterances_done": n_done,
+            "utterances_skipped": n_skipped,
+            "utterances_failed": n_failed,
+            "audio_seconds": round(audio_seconds, 3),
+            "frames": frames,
+            "wall_seconds": round(wall, 3),
+            "frames_per_second": round(frames / wall, 1) if wall else 0.0,
+            "realtime_factor": round(audio_seconds / wall, 2) if wall
+            else 0.0,
+        }
+        self.log(f"[corpus] {json.dumps(metrics)}")
+        return metrics
