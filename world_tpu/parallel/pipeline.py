@@ -85,21 +85,27 @@ def make_batch_step(fs, x_length, frame_period=5.0, rng_mode="fast",
             t, NamedSharding(mesh, spec))
 
     def one(x, fs_t):
-        tp, f0 = _dio_impl(x, fs=fs, frame_period=frame_period,
-                           f0_floor=config.K_FLOOR_F0,
-                           f0_ceil=config.K_CEIL_F0,
-                           channels_in_octave=2.0, speed=1,
-                           allowed_range=0.1)
-        f0 = _stone_mask_impl(x, tp, f0, fs_t, fs=fs)
-        sp = _cheap_trick_impl(x, tp, f0, fs=fs, fft_size=fft_size,
-                               q1=option.q1, rng_mode=rng_mode)
-        ap, _ = _d4c_impl(x, tp, f0, fs_t, fs=fs, fft_size=fft_size,
-                          threshold=config.K_THRESHOLD, rng_mode=rng_mode)
-        y = _synthesis_impl(f0, sp, ap, fs_t, fs=fs, fft_size=fft_size,
-                            frame_period=frame_period, y_length=y_length,
-                            max_pulses=min(y_length,
-                                           int(y_length / fs * 1500) + 64),
-                            rng_mode=rng_mode)
+        with jax.named_scope("world_dio"):
+            tp, f0 = _dio_impl(x, fs=fs, frame_period=frame_period,
+                               f0_floor=config.K_FLOOR_F0,
+                               f0_ceil=config.K_CEIL_F0,
+                               channels_in_octave=2.0, speed=1,
+                               allowed_range=0.1)
+        with jax.named_scope("world_stonemask"):
+            f0 = _stone_mask_impl(x, tp, f0, fs_t, fs=fs)
+        with jax.named_scope("world_cheaptrick"):
+            sp = _cheap_trick_impl(x, tp, f0, fs=fs, fft_size=fft_size,
+                                   q1=option.q1, rng_mode=rng_mode)
+        with jax.named_scope("world_d4c"):
+            ap, _ = _d4c_impl(x, tp, f0, fs_t, fs=fs, fft_size=fft_size,
+                              threshold=config.K_THRESHOLD,
+                              rng_mode=rng_mode)
+        with jax.named_scope("world_synthesis"):
+            y = _synthesis_impl(
+                f0, sp, ap, fs_t, fs=fs, fft_size=fft_size,
+                frame_period=frame_period, y_length=y_length,
+                max_pulses=min(y_length, int(y_length / fs * 1500) + 64),
+                rng_mode=rng_mode)
         return f0, sp, ap, y
 
     def step(x_batch):
