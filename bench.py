@@ -32,23 +32,40 @@ def main():
     duration_s = len(x) / fs
 
     batch = 16
-    rng = np.random.RandomState(0)
-    scales = 0.5 + rng.rand(batch, 1).astype(np.float32)
-    xb = jnp.asarray(x[None, :] * scales)
+    # The TPU runtime memoizes repeat executions by input *content*,
+    # across processes (repeating values ever submitted before yields
+    # physically impossible sub-ms step times).  Entropy-seeded scales
+    # guarantee every iteration is a never-before-seen computation.
+    rng = np.random.default_rng()  # OS-entropy seed, run-unique
+    xb0 = x[None, :] * (0.5 + rng.random((batch, 1), dtype=np.float32))
     step = jax.jit(make_batch_step(fs, len(x), rng_mode="fast"))
+    # Tiny slice of every output: fetching it forces true completion of
+    # the step without moving MBs over the device tunnel per iteration.
+    tail = jax.jit(lambda f0, sp, ap, y: (f0[:, -1], sp[:, -1, -1],
+                                          ap[:, -1, -1], y[:, -8:]))
 
     # warmup / compile
-    out = step(xb)
-    jax.block_until_ready(out)
+    out = step(jnp.asarray(xb0))
+    checksum = float(np.asarray(tail(*out)[3]).sum())
 
-    # Unique input per iteration: the runtime caches executions with
-    # identical input buffers, which would fake the timing.
     iters = 5
-    t0 = time.perf_counter()
-    for k in range(iters):
-        out = step(xb + np.float32(k) * np.float32(1e-6))
-        jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    inputs = [
+        jnp.asarray(x[None, :]
+                    * (0.5 + rng.random((batch, 1), dtype=np.float32)))
+        for _ in range(iters)
+    ]
+    jax.block_until_ready(inputs)
+    # block_until_ready has been observed to return early on this
+    # backend (first post-warmup call "completes" in 0.2 ms); a host
+    # fetch of a tiny slice of every output forces true completion
+    # without compiling anything inside the timed region.
+    dt = 0.0
+    for xb in inputs:
+        t0 = time.perf_counter()
+        out = step(xb)
+        checksum += float(np.asarray(tail(*out)[3]).sum())
+        dt += time.perf_counter() - t0
+    assert np.isfinite(checksum)
 
     audio_seconds = batch * duration_s * iters
     rtf = audio_seconds / dt
