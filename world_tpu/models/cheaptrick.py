@@ -38,12 +38,12 @@ def _windowed_waveform(x, fs, f0, position, fft_size, dither):
     base = i - half
     in_window = i < win_len
     origin = matlab_round(position * fs + 0.001)
-    safe = jnp.clip(origin + base, 0, x.shape[0] - 1)
+    seg = common.window_slice(x, origin - half, fft_size)
     pos = base.astype(x.dtype) / 1.5 / fs
     window = 0.5 * jnp.cos(config.K_PI * pos * f0) + 0.5
     window = jnp.where(in_window, window, 0.0)
     window = window / jnp.sqrt(jnp.sum(window**2))
-    waveform = x[safe] * window + dither * config.K_MY_SAFE_GUARD_MINIMUM
+    waveform = seg * window + dither * config.K_MY_SAFE_GUARD_MINIMUM
     waveform = jnp.where(in_window, waveform, 0.0)
     # Window-weighted mean removal.
     coeff = jnp.sum(waveform) / jnp.sum(window)
@@ -74,13 +74,13 @@ def _smoothing_with_recovery(smoothed_power, f0, fs, fft_size, q1):
     return jnp.exp(envelope[: half + 1])
 
 
-def _frame_kernel(x, fs, fft_size, q1, f0_floor, b_max, f0, position,
-                  win_dither, spec_dither):
+def _frame_kernel(x, fs, fft_size, q1, f0_floor, b_max, b_cap_dc, f0,
+                  position, win_dither, spec_dither):
     f0 = jnp.where(f0 <= f0_floor, config.K_DEFAULT_F0, f0)
     waveform = _windowed_waveform(x, fs, f0, position, fft_size, win_dither)
     spectrum = jnp.fft.rfft(waveform)
     power = spectrum.real**2 + spectrum.imag**2
-    power = common.dc_correction(power, f0, fs, fft_size)
+    power = common.dc_correction(power, f0, fs, fft_size, b_cap=b_cap_dc)
     width = jnp.minimum(f0, 1200.0) * 2.0 / 3.0
     power = common.linear_smoothing(power, width, fs, fft_size, b_max)
     power = power + jnp.abs(spec_dither) * config.K_EPS
@@ -100,6 +100,9 @@ def _cheap_trick_impl(x, temporal_positions, f0, *, fs, fft_size, q1,
     # temporaries small.  Widths are clamped to the cap for safety.
     f0_cap = 1200.0
     b_max = int((2.0 * f0_cap / 3.0) * fft_size / fs) + 2
+    # DC-correction replica prefix: exact for every f0 <= f0_cap; F0
+    # trackers are bounded by kCeilF0*1.1 and kDefaultF0, both < 1200.
+    b_cap_dc = int(f0_cap * fft_size / fs) + 4
 
     f0_eff = jnp.where(f0 <= f0_floor, config.K_DEFAULT_F0, f0).astype(dtype)
     win_lens = 2 * matlab_round(1.5 * fs / f0_eff) + 1
@@ -127,7 +130,7 @@ def _cheap_trick_impl(x, temporal_positions, f0, *, fs, fft_size, q1,
         spec_dither = jnp.zeros((n_frames, half + 1), dtype)
 
     kernel = functools.partial(_frame_kernel, x, fs, fft_size, q1, f0_floor,
-                               b_max)
+                               b_max, b_cap_dc)
     return jax.vmap(kernel)(f0_eff, temporal_positions, win_dither,
                             spec_dither)
 

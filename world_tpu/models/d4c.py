@@ -37,7 +37,7 @@ def _windowed_waveform(x, fs_t, f0, position, window_type,
     base = i - half
     in_win = i < win_len
     origin = matlab_round(position * fs_t + 0.001)
-    safe = jnp.clip(origin + base, 0, x.shape[0] - 1)
+    seg = common.window_slice(x, origin - half, max_len)
     pos = (2.0 * base.astype(x.dtype) / window_length_ratio) / fs_t
     if window_type == HANNING:
         window = 0.5 * jnp.cos(config.K_PI * pos * f0) + 0.5
@@ -45,7 +45,7 @@ def _windowed_waveform(x, fs_t, f0, position, window_type,
         window = (0.42 + 0.5 * jnp.cos(config.K_PI * pos * f0)
                   + 0.08 * jnp.cos(config.K_PI * pos * f0 * 2))
     window = jnp.where(in_win, window, 0.0)
-    waveform = x[safe] * window + dither * config.K_SAFE_GUARD_D4C
+    waveform = seg * window + dither * config.K_SAFE_GUARD_D4C
     waveform = jnp.where(in_win, waveform, 0.0)
     coeff = jnp.sum(waveform) / jnp.sum(window)
     return jnp.where(in_win, waveform - window * coeff, 0.0), half
@@ -120,13 +120,15 @@ def _d4c_body_frame(x, fs_t, fft_size_d4c, n_bands, window, window_length,
                    dithers[0])
     c2 = _centroid(x, fs_t, fft_size_d4c, f0, position + 0.25 / f0,
                    dithers[1])
-    static_centroid = common.dc_correction(c1 + c2, f0, fs_t, fft_size_d4c)
+    static_centroid = common.dc_correction(c1 + c2, f0, fs_t, fft_size_d4c,
+                                           b_cap=b_max + 2)
 
     waveform, _ = _windowed_waveform(x, fs_t, f0, position, HANNING, 4.0,
                                      fft_size_d4c, dithers[2])
     spec = jnp.fft.rfft(waveform)
     smoothed = spec.real**2 + spec.imag**2
-    smoothed = common.dc_correction(smoothed, f0, fs_t, fft_size_d4c)
+    smoothed = common.dc_correction(smoothed, f0, fs_t, fft_size_d4c,
+                                    b_cap=b_max + 2)
     smoothed = common.linear_smoothing(smoothed, f0, fs_t, fft_size_d4c,
                                        b_max)
 

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import config
+from ..ops import common
 from ..ops.matlab import matlab_round
 
 
@@ -77,8 +78,18 @@ def _spectra_at_size(x, fs, fft_size, max_len, position, f0):
     diff_window = jnp.where(i == win_len - 1, prv / 2.0, diff_window)
     diff_window = jnp.where(in_win, diff_window, 0.0)
 
-    safe = jnp.clip(index_raw - 1, 0, x.shape[0] - 1)
-    seg = jnp.where(in_win, x[safe], 0.0)
+    if dtype == jnp.float64:
+        # Exact golden path: the reference rounds (position+t)*fs per
+        # element, so indices can jitter off the contiguous ramp at .5
+        # boundaries; keep the elementwise gather.
+        safe = jnp.clip(index_raw - 1, 0, x.shape[0] - 1)
+        seg = jnp.where(in_win, x[safe], 0.0)
+    else:
+        # Fast path: contiguous edge-clamped slice from index_raw[0];
+        # a general gather costs ~30x a slice on TPU and the +-1 sample
+        # jitter is far below float32 noise.
+        seg = common.window_slice(x, index_raw[0] - 1, max_len)
+        seg = jnp.where(in_win, seg, 0.0)
     main_spec = jnp.fft.rfft(seg * main_window, n=fft_size)
     diff_spec = jnp.fft.rfft(seg * diff_window, n=fft_size)
     power = main_spec.real**2 + main_spec.imag**2

@@ -51,21 +51,44 @@ def nuttall_window_masked(n, total, dtype=jnp.float64):
     return jnp.where(i < n, w, 0.0)
 
 
-def dc_correction(spectrum, f0, fs, fft_size, max_f0=None):
+def window_slice(x, start, max_len):
+    """Edge-clamped contiguous window read: equals
+    ``x[clip(start + arange(max_len), 0, len(x)-1)]`` bit-for-bit, but as
+    a dynamic_slice of an edge-padded copy.  On TPU an arbitrary-index
+    gather of (frames, max_len) costs ~30x a contiguous slice; every
+    F0-adaptive analysis window in the pipeline is contiguous by
+    construction, so they all take this path (vmap over ``start``).
+    """
+    pad_l = jnp.full((max_len,), x[0], x.dtype)
+    pad_r = jnp.full((max_len,), x[-1], x.dtype)
+    xp = jnp.concatenate([pad_l, x, pad_r])
+    start = jnp.clip(start, -max_len, x.shape[0] - 1 + max_len)
+    return jax.lax.dynamic_slice(xp, (start + max_len,), (max_len,))
+
+
+def dc_correction(spectrum, f0, fs, fft_size, b_cap=None):
     """Mirror the spectrum below f0 back onto the 0..f0 band
     (src/common.cpp:56-75).  ``spectrum`` has fft_size//2+1 bins.
 
     The C++ builds a variable-length replica (upper_limit depends on f0);
-    here we compute the replica over a static prefix and mask.
+    here we compute the replica over a static prefix and mask.  ``b_cap``
+    statically bounds that prefix (any value >= upper_limit-1 for every
+    f0 seen is exact; callers clamp f0 <= 1200 Hz): the interp gather is
+    the expensive op on TPU, and only the first ~f0/delta bins are used.
     """
     nbins = fft_size // 2 + 1
     dtype = spectrum.dtype
     delta = jnp.asarray(fs, dtype) / fft_size
     upper_limit = 2 + (f0 * fft_size / fs).astype(jnp.int32)
-    k = jnp.arange(nbins, dtype=dtype)
+    n_rep = nbins if b_cap is None else min(b_cap, nbins)
+    k = jnp.arange(n_rep, dtype=dtype)
     # interp1Q(f0, -delta, input, ...) at queries k*delta, i.e. sample the
     # spectrum on the *descending* axis starting at f0.
     replica = interp1q(f0, -delta, spectrum, k * delta)
+    if n_rep < nbins:
+        replica = jnp.concatenate(
+            [replica, jnp.zeros(spectrum.shape[:-1] + (nbins - n_rep,),
+                                dtype)], axis=-1)
     mask = jnp.arange(nbins) < (upper_limit - 1)
     return jnp.where(mask, spectrum + replica, spectrum)
 
@@ -115,9 +138,12 @@ def linear_smoothing(spectrum, width, fs, fft_size, b_max):
     # Local form: integral over [f - w/2, f + w/2] of the mirrored
     # staircase.  Because queries sit on the same Delta grid as the bins,
     # the fractional end weights are constant across output bins and the
-    # whole operation is a box convolution: out[i] = sum_r c[r] *
-    # mirrored[i + K + r].  Evaluate as b_max shifted-slice FMAs (fast on
-    # TPU) instead of a 2-D gather.
+    # whole operation is a box convolution: out[i] = sum_r w(r) *
+    # mirrored[i + k_l+1 + r], w(r) = [0<=r<span] - fl*[r==0] + fh*[r==span].
+    # A dynamic_slice whose start depends on the (vmapped) frame lowers to
+    # a general gather — the single most expensive lowering on TPU.
+    # Re-indexing over the STATIC shift j = k_l+1+r keeps every slice
+    # static and moves the per-frame dependence into a scalar weight.
     s_l = (-width / 2.0 - origin) / delta          # t_l at bin 0
     s_h = s_l + width / delta
     k_l = jnp.floor(s_l).astype(jnp.int32)
@@ -125,16 +151,16 @@ def linear_smoothing(spectrum, width, fs, fft_size, b_max):
     fl = s_l - k_l
     fh = s_h - k_h
     span = k_h - k_l                                # <= b_max
-    rho = jnp.arange(b_max + 2, dtype=dtype)
-    weights = (jnp.where(rho <= span - 1, 1.0, 0.0)
-               - fl * (rho == 0) + fh * (rho == span))
 
-    def body(r, acc):
-        seg = jax.lax.dynamic_slice(mirrored, (k_l + 1 + r,), (half + 1,))
-        return acc + weights[r] * seg
-
-    total = jax.lax.fori_loop(
-        0, b_max + 2, body, jnp.zeros(half + 1, dtype))
+    # Two extra trailing mirror bins: max static slice end is
+    # half + 2*b_max + 3 while the b_max mirror stops at half + 2*b_max.
+    mp = _mirror_extend(spectrum, half, b_max + 2)  # old index j -> mp[j+2]
+    total = jnp.zeros(half + 1, dtype)
+    for j in range(2 * b_max + 2):
+        r = j - k_l - 1
+        w = (jnp.where((r >= 0) & (r <= span - 1), 1.0, 0.0)
+             - fl * (r == 0) + fh * (r == span))
+        total = total + w * jax.lax.slice_in_dim(mp, j + 2, j + half + 3)
     return jnp.maximum(total * delta / width, 0.0)
 
 

@@ -19,10 +19,10 @@ def _convolve_with_quirk(y_spectrum, filter_spectrum, fft_size):
     prod = y_spectrum * filter_spectrum
     # Reference loop ordering (src/dio.cpp:317-328): the value that ends up
     # at bins half-1 and half is y[half] * (y[half-1] * h[half-1]).
+    # Elementwise select instead of .at[].set — scatters are slow on TPU.
     corrupt = y_spectrum[..., half] * prod[..., half - 1]
-    prod = prod.at[..., half - 1].set(corrupt)
-    prod = prod.at[..., half].set(corrupt)
-    return prod
+    k = jnp.arange(half + 1)
+    return jnp.where((k == half - 1) | (k == half), corrupt, prod)
 
 
 def filtered_signal_dio(half_average_length, fft_size, y_spectrum, y_length,
@@ -36,9 +36,10 @@ def filtered_signal_dio(half_average_length, fft_size, y_spectrum, y_length,
     lpf_spectrum = jnp.fft.rfft(lpf)
     prod = _convolve_with_quirk(y_spectrum, lpf_spectrum, fft_size)
     sig = irfft_unnormalized(prod, fft_size)
+    # Group-delay compensation is a circular shift: roll lowers to two
+    # dynamic slices, vs. a general (slow) gather for modular take.
     index_bias = half_average_length * 2
-    idx = (jnp.arange(fft_size) + index_bias) % fft_size
-    return jnp.take(sig, idx)[: y_length]
+    return jnp.roll(sig, -index_bias)[: y_length]
 
 
 def filtered_signal_harvest(boundary_f0, fft_size, fs, y_spectrum, y_length,
@@ -57,5 +58,4 @@ def filtered_signal_harvest(boundary_f0, fft_size, fs, y_spectrum, y_length,
     prod = _convolve_with_quirk(y_spectrum, bpf_spectrum, fft_size)
     sig = irfft_unnormalized(prod, fft_size)
     index_bias = filter_length_half + 1
-    idx = (jnp.arange(fft_size) + index_bias) % fft_size
-    return jnp.take(sig, idx)[: y_length]
+    return jnp.roll(sig, -index_bias)[: y_length]
