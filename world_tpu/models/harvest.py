@@ -196,6 +196,76 @@ def _refine_pair(y, fs_t, fft_size, max_len, position, f0, f0_floor,
     return jnp.where(ok, refined, 0.0), jnp.where(ok, score, 0.0)
 
 
+def _refine_frame_direct(seg, tmp, fs_t, hw_max, f0, f0_floor, f0_ceil):
+    """GetRefinedF0 for one candidate on a FRAME-CENTERED grid,
+    computing only the <=6 harmonic DFT bins directly.
+
+    The FFT path reads just bins round(h*f0*fft/fs) of each spectrum, so
+    the f32/TPU path evaluates those bins as windowed cos/sin dots: no
+    FFT, no per-fft-size bucketing (which re-ran every pair at every
+    bucket).  ``seg``/``tmp`` are shared by all candidates of the frame
+    (one waveform slice per FRAME instead of per pair — the per-pair
+    gather was ~90% of Harvest's TPU time).  On the centered grid
+    j in [-hw_max, hw_max] the spectra pick up a common phase factor
+    e^{-i omega hw} which cancels in |M|^2 and in Im(conj(M) D), so the
+    instantaneous-frequency math is unchanged.  Float64 keeps the FFT
+    path for golden parity; this path is ~0.005 cents off."""
+    dtype = seg.dtype
+    j = jnp.arange(-hw_max, hw_max + 1)
+    hw = (1.5 * fs_t / f0 + 1.0).astype(jnp.int32)
+    win_len = 2 * hw + 1
+    wlt = win_len.astype(dtype) / fs_t
+    in_win = jnp.abs(j) <= hw
+
+    arg = 2.0 * config.K_PI * tmp / wlt
+    c2 = jnp.cos(arg)
+    # cos(2a) = 2cos^2(a)-1 halves the transcendental count.
+    main_window = 0.42 + 0.5 * c2 + 0.08 * (2.0 * c2 * c2 - 1.0)
+    main_window = jnp.where(in_win, main_window, 0.0)
+    nxt = jnp.roll(main_window, -1)
+    prv = jnp.roll(main_window, 1)
+    diff_window = -(nxt - prv) / 2.0
+    diff_window = jnp.where(j == -hw, -nxt / 2.0, diff_window)
+    diff_window = jnp.where(j == hw, prv / 2.0, diff_window)
+    diff_window = jnp.where(in_win, diff_window, 0.0)
+
+    seg = jnp.where(in_win, seg, 0.0)
+    xm = seg * main_window
+    xd = seg * diff_window
+
+    fft_size = jnp.exp2(2.0 + jnp.floor(
+        jnp.log(win_len.astype(dtype)) / config.K_LOG2)).astype(dtype)
+    n_harm = jnp.minimum((fs_t / 2.0 / f0).astype(jnp.int32), 6)
+    harm = jnp.arange(1, 7, dtype=dtype)
+    active = jnp.arange(6) < n_harm
+    index = matlab_round(f0 * fft_size / fs_t * harm)
+    index = jnp.clip(index, 0, (fft_size / 2).astype(jnp.int32))
+
+    omega = (2.0 * config.K_PI / fft_size) * index.astype(dtype)
+    phase = omega[:, None] * j.astype(dtype)[None, :]
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    main_re = c @ xm
+    main_im = -(s @ xm)
+    diff_re = c @ xd
+    diff_im = -(s @ xd)
+    power = main_re**2 + main_im**2
+    numer = main_re * diff_im - main_im * diff_re
+
+    inst = jnp.where(power == 0.0, 0.0,
+                     index.astype(dtype) * fs_t / fft_size
+                     + numer / power * fs_t / (2.0 * config.K_PI))
+    amp = jnp.where(active, jnp.sqrt(power), 0.0)
+    refined = jnp.sum(amp * inst * active) / (
+        jnp.sum(amp * harm) + config.K_MY_SAFE_GUARD_MINIMUM)
+    dev = jnp.sum(jnp.where(active, jnp.abs((inst / harm - f0) / f0), 0.0))
+    score = 1.0 / (dev / jnp.maximum(n_harm, 1)
+                   + config.K_MY_SAFE_GUARD_MINIMUM)
+
+    ok = (refined >= f0_floor) & (refined <= f0_ceil) & (score >= 2.5)
+    return jnp.where(ok, refined, 0.0), jnp.where(ok, score, 0.0)
+
+
 def _refine_buckets(fs, f0_floor, f0_ceil):
     hw_min = int(1.5 * fs / f0_ceil + 1.0)
     hw_max = int(1.5 * fs / f0_floor + 1.0)
@@ -209,7 +279,7 @@ def _refine_buckets(fs, f0_floor, f0_ceil):
 
 
 def _refine_all(y, fs_t, positions, cands, f0_floor, f0_ceil, sizes,
-                chunk=2048):
+                fs_static, chunk=2048):
     """Refine every (frame, candidate) pair, bucketed by fft size and
     chunked along the flattened pair axis."""
     n_frames, n_slots = cands.shape
@@ -223,24 +293,60 @@ def _refine_all(y, fs_t, positions, cands, f0_floor, f0_ceil, sizes,
 
     usable = flat_f0 > 0.0
     f0_safe = jnp.where(usable, flat_f0, 100.0)
-    hw = (1.5 * fs_t / f0_safe + 1.0).astype(jnp.int32)
-    pair_fft = 2 ** (2 + jnp.floor(
-        jnp.log(hw * 2.0 + 1.0) / config.K_LOG2).astype(jnp.int32))
 
-    refined = jnp.zeros_like(flat_f0)
-    scores = jnp.zeros_like(flat_f0)
-    for fft_size in sizes:
-        def one_chunk(args, fft_size=fft_size):
-            p, f = args
-            return jax.vmap(lambda pp, ff: _refine_pair(
-                y, fs_t, fft_size, fft_size, pp, ff, f0_floor, f0_ceil))(p, f)
+    if flat_f0.dtype == jnp.float64:
+        # Golden path: bucketed full FFTs, bit-matching the reference.
+        hw = (1.5 * fs_t / f0_safe + 1.0).astype(jnp.int32)
+        pair_fft = 2 ** (2 + jnp.floor(
+            jnp.log(hw * 2.0 + 1.0) / config.K_LOG2).astype(jnp.int32))
 
-        r, s = jax.lax.map(one_chunk,
-                           (flat_pos.reshape(-1, chunk),
-                            f0_safe.reshape(-1, chunk)))
-        sel = pair_fft == fft_size
-        refined = jnp.where(sel, r.reshape(-1), refined)
-        scores = jnp.where(sel, s.reshape(-1), scores)
+        refined = jnp.zeros_like(flat_f0)
+        scores = jnp.zeros_like(flat_f0)
+        for fft_size in sizes:
+            def one_chunk(args, fft_size=fft_size):
+                p, f = args
+                return jax.vmap(lambda pp, ff: _refine_pair(
+                    y, fs_t, fft_size, fft_size, pp, ff, f0_floor,
+                    f0_ceil))(p, f)
+
+            r, s = jax.lax.map(one_chunk,
+                               (flat_pos.reshape(-1, chunk),
+                                f0_safe.reshape(-1, chunk)))
+            sel = pair_fft == fft_size
+            refined = jnp.where(sel, r.reshape(-1), refined)
+            scores = jnp.where(sel, s.reshape(-1), scores)
+    else:
+        # TPU path: direct 6-bin DFT on a frame-centered grid, one
+        # waveform slice per FRAME shared by its candidates, no buckets.
+        # Candidate f0 can undershoot f0_floor by the x0.9 channel
+        # widening plus the +-10% acceptance band.
+        hw_max = int(1.5 * fs_static / (f0_floor * 0.9 * 0.9) + 1.0) + 1
+        W = 2 * hw_max + 1
+        f0_grid = f0_safe[: n_frames * n_slots].reshape(n_frames, n_slots)
+
+        def one_frame_chunk(args):
+            p, frow = args
+            c0 = matlab_round(p * fs_t + 0.001)
+            seg = common.window_slice(y, c0 - hw_max - 1, W)
+            jj = jnp.arange(-hw_max, hw_max + 1)
+            tmp = ((c0 + jj).astype(frow.dtype) - 1.0) / fs_t - p
+            return jax.vmap(lambda ff: _refine_frame_direct(
+                seg, tmp, fs_t, hw_max, ff, f0_floor, f0_ceil))(frow)
+
+        fchunk = max(1, chunk // n_slots)
+        fpad = (-n_frames) % fchunk
+        pos_p = jnp.concatenate([positions, jnp.zeros(fpad, positions.dtype)])
+        f0_p = jnp.concatenate(
+            [f0_grid, jnp.full((fpad, n_slots), 100.0, f0_grid.dtype)])
+        r, s = jax.lax.map(
+            lambda args: jax.vmap(one_frame_chunk)(args),
+            (pos_p.reshape(-1, fchunk),
+             f0_p.reshape(-1, fchunk, n_slots)))
+        refined = r.reshape(-1, n_slots)[:n_frames].reshape(-1)
+        scores = s.reshape(-1, n_slots)[:n_frames].reshape(-1)
+        used = flat_f0[: n_frames * n_slots] > 0.0
+        return (jnp.where(used, refined, 0.0).reshape(n_frames, n_slots),
+                jnp.where(used, scores, 0.0).reshape(n_frames, n_slots))
 
     refined = jnp.where(usable, refined, 0.0)[:n]
     scores = jnp.where(usable, scores, 0.0)[:n]
@@ -518,8 +624,37 @@ def _harvest_device_stage(x, fs_t, *, fs, f0_floor, f0_ceil,
     fs_dec = jnp.asarray(actual_fs, dtype)
     sizes = _refine_buckets(actual_fs, f0_floor, f0_ceil)
     refined, scores = _refine_all(y, fs_dec, positions, cands, f0_floor,
-                                  f0_ceil, sizes)
+                                  f0_ceil, sizes, actual_fs)
     return _remove_unreliable(refined, scores)
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "frame_period",
+                                              "f0_floor", "f0_ceil"))
+def _harvest_impl(x, *, fs, frame_period, f0_floor, f0_ceil):
+    """Full Harvest on device (reference src/harvest.cpp:1223-1255):
+    1 ms-internal analysis, contour fix + smoothing, then nearest-
+    neighbor resample to the requested frame period."""
+    from .harvest_contour import fix_and_smooth
+
+    dtype = x.dtype
+    x_length = x.shape[0]
+    dimension_ratio = int(round(fs / 8000.0))
+    cands, scores = _harvest_device_stage(
+        x, jnp.asarray(float(fs), dtype), fs=fs, f0_floor=f0_floor,
+        f0_ceil=f0_ceil, channels_in_octave=40.0, speed=dimension_ratio)
+    basic_f0 = fix_and_smooth(cands, scores)
+
+    f0_length = config.get_samples_for_harvest(fs, x_length, frame_period)
+    temporal_positions = jnp.arange(f0_length, dtype=dtype) \
+        * frame_period / 1000.0
+    if frame_period == 1.0:
+        f0 = basic_f0[:f0_length]
+    else:
+        idx = jnp.minimum(basic_f0.shape[0] - 1,
+                          jnp.round(temporal_positions * 1000.0)
+                          .astype(jnp.int32))
+        f0 = basic_f0[idx]
+    return temporal_positions, f0
 
 
 def harvest(x, fs, option=None):
@@ -529,27 +664,5 @@ def harvest(x, fs, option=None):
     """
     option = option or config.HarvestOption()
     x = jnp.asarray(x)
-    target_fs = 8000.0
-    dimension_ratio = int(round(fs / target_fs))
-
-    cands, scores = _harvest_device_stage(
-        x, jnp.asarray(float(fs), x.dtype), fs=fs, f0_floor=option.f0_floor,
-        f0_ceil=option.f0_ceil, channels_in_octave=40.0,
-        speed=dimension_ratio)
-
-    fixed = _fix_contour_np(np.asarray(cands), np.asarray(scores))
-    basic_f0 = _smooth_contour_np(fixed)
-
-    x_length = x.shape[0]
-    if option.frame_period == 1.0:
-        f0 = basic_f0
-        f0_length = basic_f0.shape[0]
-    else:
-        f0_length = config.get_samples_for_harvest(fs, x_length,
-                                                   option.frame_period)
-        tp = np.arange(f0_length) * option.frame_period / 1000.0
-        idx = np.minimum(basic_f0.shape[0] - 1,
-                         np.round(tp * 1000.0).astype(int))
-        f0 = basic_f0[idx]
-    temporal_positions = np.arange(f0_length) * option.frame_period / 1000.0
-    return jnp.asarray(temporal_positions, x.dtype), jnp.asarray(f0, x.dtype)
+    return _harvest_impl(x, fs=fs, frame_period=option.frame_period,
+                         f0_floor=option.f0_floor, f0_ceil=option.f0_ceil)

@@ -1,0 +1,300 @@
+"""Harvest contour fixing + smoothing, device-native.
+
+JAX re-expression of FixF0Contour / SmoothF0Contour (reference
+src/harvest.cpp:693-1113), replacing the host-numpy v0 scaffolding so the
+whole Harvest path jits and vmaps into the batched pipeline.
+
+The C++ walks data-dependent section lists with in-place swaps; here
+sections live in fixed-capacity tensors (capacity = f0_length//8 + 2:
+FixStep2 guarantees >= 7 voiced frames per section plus a gap) and every
+walk is a masked lax.scan:
+
+- FixStep1 is frame-parallel (the jump test reads the *unfixed* base).
+- FixStep2 uses run-length scans (cummax/cummin of boundary indices).
+- FixStep3's ExtendF0 is a 101-step scan per section x direction
+  (vmapped); ExtendSub's mean-residue carry and MergeF0's sequential
+  overwrite of the merged contour are scans over the section axis; the
+  C++ MakeSortedOrder swap-insertion is a correct stable sort for its
+  keys, so a stable argsort by section start reproduces it.
+- FixStep4 fills short gaps frame-parallel from prev/next-section scans.
+- SmoothF0Contour runs the zero-phase biquad as a lax.scan over time,
+  batched over the section lanes, with 300-frame edge-hold padding.
+
+Everything matches the host transcription op-for-op; only floating-point
+summation order differs (jnp.sum vs numpy pairwise) in the ExtendSub
+mean and MergeF0Sub scores, which decide ties only at ~1e-16.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.iinfo(jnp.int32).max // 2
+LAG = 300  # smoothing pad (src/harvest.cpp:1090)
+
+
+def _shift_right(x, k, fill=0.0):
+    pad = jnp.full((k,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([pad, x[:-k]])
+
+
+def _section_masks(values):
+    """Voiced-run starts/ends with the reference's forced-unvoiced
+    endpoints (GetBoundaryList, src/harvest.cpp:767-786)."""
+    v = values != 0.0
+    n = v.shape[0]
+    v = v & (jnp.arange(n) > 0) & (jnp.arange(n) < n - 1)
+    prev = jnp.concatenate([jnp.zeros(1, bool), v[:-1]])
+    nxt = jnp.concatenate([v[1:], jnp.zeros(1, bool)])
+    return v, v & ~prev, v & ~nxt
+
+
+def _section_bounds(values, cap):
+    """(starts, ends, count) as fixed-capacity ascending index arrays."""
+    _, s_mask, e_mask = _section_masks(values)
+    idx = jnp.arange(values.shape[0])
+    st = jnp.sort(jnp.where(s_mask, idx, BIG))[:cap]
+    ed = jnp.sort(jnp.where(e_mask, idx, BIG))[:cap]
+    return st, ed, jnp.sum(s_mask)
+
+
+def _select_best(reference, cands_row, allowed):
+    """SelectBestF0 (src/harvest.cpp:636-650): nearest candidate within
+    ``allowed`` relative error; ties keep the *later* candidate."""
+    err = jnp.abs(reference - cands_row) / reference
+    n = cands_row.shape[0]
+    j = n - 1 - jnp.argmin(err[::-1])
+    return jnp.where(err[j] <= allowed, cands_row[j], 0.0)
+
+
+def _fix_step1(base, allowed_range):
+    """Jump removal (src/harvest.cpp:710-722); reads the unfixed base."""
+    n = base.shape[0]
+    b1 = _shift_right(base, 1)
+    b2 = _shift_right(base, 2)
+    ref = b1 * 2.0 - b2
+    c1 = jnp.abs((base - ref) / ref) > allowed_range
+    c2 = jnp.abs(base - b1) / b1 > allowed_range
+    keep = (jnp.arange(n) >= 2) & (base != 0.0) & ~(c1 & c2)
+    return jnp.where(keep, base, 0.0)
+
+
+def _fix_step2(step1, voice_range_minimum=6):
+    """Drop voiced runs with ed - st < 6 (src/harvest.cpp:748-762)."""
+    _, s_mask, e_mask = _section_masks(step1)
+    idx = jnp.arange(step1.shape[0])
+    st_f = jax.lax.cummax(jnp.where(s_mask, idx, -1))
+    ed_f = jax.lax.cummin(jnp.where(e_mask, idx, BIG), reverse=True)
+    v, _, _ = _section_masks(step1)
+    remove = v & (ed_f - st_f < voice_range_minimum)
+    return jnp.where(remove, 0.0, step1)
+
+
+def _extend_one(values, origin, last_point, shift, cands, allowed):
+    """ExtendF0 (src/harvest.cpp:791-820): walk from ``origin`` toward
+    ``last_point`` selecting candidates, stop after 4 straight misses.
+    Returns (emitted values (101,), shifted_origin)."""
+    n_steps = jnp.abs(last_point - origin) + 1
+    tmp0 = values[origin]
+    n_frames = cands.shape[0]
+
+    def body(carry, s):
+        tmp, cnt, done, shifted = carry
+        t = origin + shift * (s + 1)
+        active = (s < n_steps) & ~done
+        row = cands[jnp.clip(t, 0, n_frames - 1)]
+        val = jnp.where(active, _select_best(tmp, row, allowed), 0.0)
+        hit = val != 0.0
+        cnt = jnp.where(active, jnp.where(hit, 0, cnt + 1), cnt)
+        tmp = jnp.where(active & hit, val, tmp)
+        shifted = jnp.where(active & hit, t, shifted)
+        done = done | (cnt >= 4)
+        return (tmp, cnt, done, shifted), val
+
+    (_, _, _, shifted), vals = jax.lax.scan(
+        body, (tmp0, 0, False, origin), jnp.arange(101))
+    return vals, shifted
+
+
+def _place(rel_values, base, direction, n_frames):
+    """Scatter the 101 emitted walk values at base + direction*(1..101)
+    as a masked gather (TPU-friendly)."""
+    j = jnp.arange(n_frames)
+    rel = (j - base) * direction - 1
+    ok = (rel >= 0) & (rel < 101)
+    return jnp.where(ok, rel_values[jnp.clip(rel, 0, 100)], 0.0)
+
+
+def _search_score(value, cands, scores):
+    """Best score among slots holding ``value``
+    (src/harvest.cpp:858-868); frame-parallel over a (F,) contour."""
+    hit = cands == value[:, None]
+    return jnp.max(jnp.where(hit, scores, 0.0), axis=1)
+
+
+def _fix_step3(step2, cands, scores, cap, allowed_range=0.18):
+    """Extend + Merge (src/harvest.cpp:791-995)."""
+    n_frames, _ = cands.shape
+    st, ed, n_sec = _section_bounds(step2, cap)
+    sec_valid = jnp.arange(cap) < n_sec
+    j = jnp.arange(n_frames)
+
+    # Per-section masked copy of its voiced run.
+    in_sec = (j[None, :] >= st[:, None]) & (j[None, :] <= ed[:, None])
+    multi = jnp.where(in_sec & sec_valid[:, None], step2[None, :], 0.0)
+
+    # Extend every section both ways (threshold 100 frames).
+    def extend_k(row, s, e):
+        last_r = jnp.minimum(n_frames - 2, e + 100)
+        vals_r, new_e = _extend_one(row, e, last_r, 1, cands, allowed_range)
+        row = row + _place(vals_r, e, 1, n_frames)
+        last_l = jnp.maximum(1, s - 100)
+        vals_l, new_s = _extend_one(row, s, last_l, -1, cands, allowed_range)
+        row = row + _place(vals_l, s, -1, n_frames)
+        return row, new_s, new_e
+
+    st_c = jnp.clip(st, 0, n_frames - 1)
+    ed_c = jnp.clip(ed, 0, n_frames - 1)
+    multi, new_st, new_ed = jax.vmap(extend_k)(multi, st_c, ed_c)
+    new_st = jnp.where(sec_valid, new_st, BIG)
+    new_ed = jnp.where(sec_valid, new_ed, BIG)
+    multi = jnp.where(sec_valid[:, None], multi, 0.0)
+
+    # ExtendSub: keep sections with 2200/mean < length; the mean carries
+    # residue across sections exactly like the C++ (src/harvest.cpp:840-856).
+    span = (j[None, :] >= new_st[:, None]) & (j[None, :] < new_ed[:, None])
+    sums = jnp.sum(jnp.where(span, multi, 0.0), axis=1)
+    lens = (new_ed - new_st).astype(multi.dtype)
+
+    def sub_body(mean, inp):
+        s, l, valid = inp
+        mean = jnp.where(valid, (mean + s) / l, mean)
+        keep = valid & (2200.0 / mean < l)
+        return mean, keep
+
+    _, keep = jax.lax.scan(sub_body, jnp.asarray(0.0, multi.dtype),
+                           (sums, lens, sec_valid))
+    n_kept = jnp.sum(keep)
+
+    # Compaction preserves original order among kept sections; MergeF0's
+    # MakeSortedOrder then sorts by start (stable).
+    compact = jnp.argsort(jnp.where(keep, jnp.arange(cap), BIG))
+    st_k = new_st[compact]
+    ed_k = new_ed[compact]
+    multi_k = multi[compact]
+    order = jnp.argsort(jnp.where(jnp.arange(cap) < n_kept, st_k, BIG),
+                        stable=True)
+
+    # Sequential merge (src/harvest.cpp:881-963).
+    frame_score = jax.vmap(lambda c: _search_score(c, cands, scores))(
+        multi_k)  # (cap, F)
+    merged0 = multi_k[0]
+    b0_0 = st_k[0]
+    b1_0 = ed_k[0]
+
+    def merge_body(carry, i):
+        merged, mscore, b0, b1 = carry
+        oi = order[i]
+        valid = i < n_kept
+        st2, ed2 = st_k[oi], ed_k[oi]
+        f0_2 = multi_k[oi]
+        s2 = frame_score[oi]
+
+        disjoint = st2 - b1 > 0
+        contained = (b0 <= st2) & (b1 >= ed2)
+        overlap = ~disjoint & ~contained
+        in_score = (j >= st2) & (j <= b1)
+        score1 = jnp.sum(jnp.where(in_score, mscore, 0.0))
+        score2 = jnp.sum(jnp.where(in_score, s2, 0.0))
+        lo = jnp.where(score1 > score2, b1, st2)  # overwrite [lo, ed2]
+        write = valid & (disjoint & (j >= st2) & (j <= ed2)
+                         | overlap & (j >= lo) & (j <= ed2))
+        merged = jnp.where(write, f0_2, merged)
+        mscore = jnp.where(write, s2, mscore)
+        b0 = jnp.where(valid & disjoint, st2, b0)
+        b1 = jnp.where(valid & ~contained, ed2, b1)
+        return (merged, mscore, b0, b1), 0
+
+    (merged, _, _, _), _ = jax.lax.scan(
+        merge_body, (merged0, frame_score[0], b0_0, b1_0),
+        jnp.arange(1, cap))
+
+    merged = jnp.where(n_kept > 0, merged, step2)
+    return jnp.where(n_sec > 0, merged, step2)
+
+
+def _fix_step4(step3, threshold=9):
+    """Linear fill of short unvoiced gaps (src/harvest.cpp:1000-1022)."""
+    n = step3.shape[0]
+    j = jnp.arange(n)
+    _, s_mask, e_mask = _section_masks(step3)
+    prev_ed = jax.lax.cummax(jnp.where(e_mask, j, -1))
+    next_st = jax.lax.cummin(jnp.where(s_mask, j, BIG), reverse=True)
+    has = (prev_ed >= 0) & (next_st < BIG)
+    dist = next_st - prev_ed - 1
+    gap = has & (step3 == 0.0) & (j > prev_ed) & (j < next_st) \
+        & (dist < threshold)
+    t0 = step3[jnp.clip(prev_ed, 0, n - 1)] + 1.0
+    t1 = step3[jnp.clip(next_st, 0, n - 1)] - 1.0
+    coef = (t1 - t0) / (dist + 1.0).astype(step3.dtype)
+    fill = t0 + coef * (j - prev_ed).astype(step3.dtype)
+    return jnp.where(gap, fill, step3)
+
+
+def _smooth_contour(f0, cap):
+    """Zero-phase 2nd-order smoothing per voiced section with 300-frame
+    edge-hold padding (src/harvest.cpp:1049-1113)."""
+    dtype = f0.dtype
+    b = jnp.asarray([0.0078202080334971724, 0.015640416066994345], dtype)
+    a = jnp.asarray([1.7347257688092754, -0.76600660094326412], dtype)
+    n = f0.shape[0] + 2 * LAG
+    contour = jnp.concatenate(
+        [jnp.zeros(LAG, dtype), f0, jnp.zeros(LAG, dtype)])
+    st, ed, n_sec = _section_bounds(contour, cap)
+    valid = jnp.arange(cap) < n_sec
+    st_c = jnp.clip(st, 0, n - 1)
+    ed_c = jnp.clip(ed, 0, n - 1)
+
+    # Edge-hold input per section: x[t] = contour[clip(t, st, ed)].
+    t = jnp.arange(n)
+    x = contour[jnp.clip(t[None, :], st_c[:, None], ed_c[:, None])]
+    x = jnp.where(valid[:, None], x, 0.0)
+
+    def biquad(seq):
+        # y[t] = b0 x[t] + b1 x[t-1] + b0 x[t-2] + a0 y[t-1] + a1 y[t-2],
+        # zero initial state, batched over the section lanes.
+        def step(carry, xt):
+            x1, x2, y1, y2 = carry
+            yt = b[0] * xt + b[1] * x1 + b[0] * x2 + a[0] * y1 + a[1] * y2
+            return (xt, x1, yt, y1), yt
+
+        z = jnp.zeros(seq.shape[1:], dtype)
+        _, y = jax.lax.scan(step, (z, z, z, z), seq)
+        return y
+
+    y1 = biquad(x.T)[::-1]
+    y2 = biquad(y1)[::-1].T  # (cap, n)
+
+    in_sec = (t[None, :] >= st_c[:, None]) & (t[None, :] <= ed_c[:, None])
+    out = jnp.sum(jnp.where(in_sec & valid[:, None], y2, 0.0), axis=0)
+    return out[LAG: LAG + f0.shape[0]]
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def fix_and_smooth(cands, scores, *, cap=None):
+    """FixF0Contour + SmoothF0Contour (src/harvest.cpp:1027-1113),
+    fully on device.  cands/scores: (f0_length, n_slots)."""
+    f0_length = cands.shape[0]
+    if cap is None:
+        cap = f0_length // 8 + 2
+
+    best = jnp.argmax(scores, axis=1)
+    has = jnp.max(scores, axis=1) > 0.0
+    base = jnp.where(has, cands[jnp.arange(f0_length), best], 0.0)
+
+    step1 = _fix_step1(base, 0.008)
+    step2 = _fix_step2(step1)
+    step3 = _fix_step3(step2, cands, scores, cap)
+    step4 = _fix_step4(step3)
+    return _smooth_contour(step4, cap + 2)

@@ -19,6 +19,7 @@ from .. import config
 from ..models.cheaptrick import _cheap_trick_impl
 from ..models.d4c import _d4c_impl
 from ..models.dio import _dio_impl
+from ..models.harvest import _harvest_impl
 from ..models.stonemask import _stone_mask_impl
 from ..models.synthesis import _synthesis_impl
 
@@ -85,14 +86,20 @@ def make_batch_step(fs, x_length, frame_period=5.0, rng_mode="fast",
             t, NamedSharding(mesh, spec))
 
     def one(x, fs_t):
-        with jax.named_scope("world_dio"):
-            tp, f0 = _dio_impl(x, fs=fs, frame_period=frame_period,
-                               f0_floor=config.K_FLOOR_F0,
-                               f0_ceil=config.K_CEIL_F0,
-                               channels_in_octave=2.0, speed=1,
-                               allowed_range=0.1)
-        with jax.named_scope("world_stonemask"):
-            f0 = _stone_mask_impl(x, tp, f0, fs_t, fs=fs)
+        if f0_method == "harvest":
+            with jax.named_scope("world_harvest"):
+                tp, f0 = _harvest_impl(x, fs=fs, frame_period=frame_period,
+                                       f0_floor=config.K_FLOOR_F0,
+                                       f0_ceil=config.K_CEIL_F0)
+        else:
+            with jax.named_scope("world_dio"):
+                tp, f0 = _dio_impl(x, fs=fs, frame_period=frame_period,
+                                   f0_floor=config.K_FLOOR_F0,
+                                   f0_ceil=config.K_CEIL_F0,
+                                   channels_in_octave=2.0, speed=1,
+                                   allowed_range=0.1)
+            with jax.named_scope("world_stonemask"):
+                f0 = _stone_mask_impl(x, tp, f0, fs_t, fs=fs)
         with jax.named_scope("world_cheaptrick"):
             sp = _cheap_trick_impl(x, tp, f0, fs=fs, fft_size=fft_size,
                                    q1=option.q1, rng_mode=rng_mode)
