@@ -1,0 +1,65 @@
+"""Chunked long-form analysis must agree with whole-signal analysis
+away from chunk boundaries, and streaming long-form synthesis must
+produce continuous audio."""
+
+import numpy as np
+
+from world_tpu.parallel.longform import analyze_long, synthesize_long
+import world_tpu
+
+
+def _long_vowelish(fs, seconds, seed=1):
+    rng = np.random.RandomState(seed)
+    n = int(fs * seconds)
+    t = np.arange(n) / fs
+    f0 = 130.0 + 25.0 * np.sin(2 * np.pi * 0.4 * t)
+    phase = np.cumsum(2 * np.pi * f0 / fs)
+    x = np.sin(phase) + 0.4 * np.sin(2 * phase + 0.3) \
+        + 0.15 * np.sin(3 * phase + 1.1) + 0.003 * rng.randn(n)
+    return (0.3 * x / np.abs(x).max()), f0
+
+
+def test_chunked_analysis_matches_direct():
+    fs = 16000
+    x, _ = _long_vowelish(fs, 12.0)
+
+    tp_c, f0_c, sp_c, ap_c = analyze_long(
+        x, fs, chunk_seconds=4.0, halo_seconds=0.2, f0_method="dio")
+
+    tp, f0 = world_tpu.dio(x, fs)
+    f0 = world_tpu.stone_mask(x, fs, tp, f0)
+    sp = np.asarray(world_tpu.cheap_trick(x, fs, tp, f0))
+    f0 = np.asarray(f0)
+
+    assert f0_c.shape == f0.shape
+    np.testing.assert_allclose(tp_c, np.asarray(tp), atol=1e-12)
+
+    # Frames >2 frames away from any chunk boundary must agree closely.
+    n = len(f0)
+    core = int(round(4.0 / 0.005))
+    interior = np.ones(n, bool)
+    for b in range(0, n, core):
+        interior[max(0, b - 2): b + 3] = False
+    both = (f0 > 0) & (f0_c > 0) & interior
+    assert both.sum() > n // 2
+    vuv_agree = ((f0 > 0) == (f0_c > 0))[interior].mean()
+    assert vuv_agree > 0.99, vuv_agree
+    cents = 1200 * np.abs(np.log2(f0_c[both] / f0[both]))
+    assert np.percentile(cents, 95) < 1.0, np.percentile(cents, 95)
+
+    db = np.abs(10 * np.log10(sp_c[both] / sp[both]))
+    assert np.median(db) < 0.1, np.median(db)
+
+
+def test_long_synthesis_streaming():
+    fs = 16000
+    x, _ = _long_vowelish(fs, 6.0)
+    tp, f0, sp, ap = analyze_long(x, fs, chunk_seconds=2.0,
+                                  f0_method="dio")
+    y = synthesize_long(f0, sp, ap, fs, buffer_size=2048)
+    assert len(y) > 0.9 * len(x)
+    assert np.isfinite(y).all()
+    # continuous audio: no silent buffer-boundary dropouts
+    seg = y[: (len(y) // 2048) * 2048].reshape(-1, 2048)
+    rms = seg.std(axis=1)
+    assert rms.min() > 0.05 * np.median(rms), (rms.min(), np.median(rms))

@@ -1,0 +1,146 @@
+"""Long-form audio: chunked analysis with halos + streaming synthesis.
+
+The reference FFTs the *entire* signal at next-pow2 length inside Dio
+and Harvest (src/dio.cpp:592-599, src/harvest.cpp:1164-1171) — fine for
+seconds-long clips, unusable for hour-long 48 kHz audio.  Here long
+waveforms are cut into equal chunks padded with an analysis halo on
+each side; every chunk is one lane of the batched pipeline (and, under
+a mesh, chunks ride the 'data' axis — this is the framework's context
+parallelism), and the per-chunk frame grids are aligned to the global
+grid so stitching is pure slicing.
+
+Chunking is an approximation at the halo level: filter tails beyond the
+halo and the global DC mean differ from whole-signal processing.  With
+the default 0.2 s halo (the longest analysis support is D4C's LoveTrain
+window, 3/40 s ~ 75 ms) the F0/envelope differences are confined to
+numerical noise except within a frame or two of a chunk edge; see
+tests/test_longform.py.
+
+Synthesis of long parameter tracks goes through StreamingSynthesizer
+(reference src/synthesisrealtime.cpp), which carries the pulse phase
+across chunk boundaries exactly, with a large render buffer.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from ..models.cheaptrick import _cheap_trick_impl
+from ..models.d4c import _d4c_impl
+from ..models.dio import _dio_impl
+from ..models.harvest import _harvest_impl
+from ..models.stonemask import _stone_mask_impl
+
+
+def analyze_long(x, fs, *, frame_period=5.0, chunk_seconds=8.0,
+                 halo_seconds=0.2, f0_method="harvest", rng_mode="fast",
+                 mesh=None):
+    """Analyze arbitrarily long audio in fixed-size halo-padded chunks.
+
+    Returns (temporal_positions, f0, sp, ap) covering the whole signal
+    on the global frame grid.
+    """
+    x = np.asarray(x)
+    n = len(x)
+    fp_s = frame_period / 1000.0
+    n_frames = config.get_samples_for_dio(fs, n, frame_period)
+
+    halo_f = int(math.ceil(halo_seconds / fp_s))
+    core_f = max(1, int(round(chunk_seconds / fp_s)))
+    local_f = core_f + 2 * halo_f
+    # chunk samples cover the last local frame's analysis window too
+    chunk_len = int(math.ceil((local_f - 1) * fp_s * fs)) + 1
+
+    n_chunks = max(1, int(math.ceil(n_frames / core_f)))
+    starts_f = np.arange(n_chunks) * core_f - halo_f     # global frame idx
+    start_samples = np.round(starts_f * fp_s * fs).astype(np.int64)
+
+    chunks = np.zeros((n_chunks, chunk_len), x.dtype)
+    for c, s0 in enumerate(start_samples):
+        lo, hi = max(0, s0), min(n, s0 + chunk_len)
+        if hi > lo:
+            chunks[c, lo - s0: hi - s0] = x[lo:hi]
+
+    dtype = jnp.float32 if x.dtype == np.float32 else jnp.float64
+    xb = jnp.asarray(chunks, dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        xb = jax.device_put(xb, NamedSharding(mesh, P("data", None)))
+
+    option = config.CheapTrickOption().resolve(fs)
+    fft_size = option.fft_size
+    fs_t = jnp.asarray(float(fs), dtype)
+
+    def one(xc):
+        if f0_method == "harvest":
+            tp, f0 = _harvest_impl(xc, fs=fs, frame_period=frame_period,
+                                   f0_floor=config.K_FLOOR_F0,
+                                   f0_ceil=config.K_CEIL_F0)
+        else:
+            tp, f0 = _dio_impl(xc, fs=fs, frame_period=frame_period,
+                               f0_floor=config.K_FLOOR_F0,
+                               f0_ceil=config.K_CEIL_F0,
+                               channels_in_octave=2.0, speed=1,
+                               allowed_range=0.1)
+            f0 = _stone_mask_impl(xc, tp, f0, fs_t, fs=fs)
+        sp = _cheap_trick_impl(xc, tp, f0, fs=fs, fft_size=fft_size,
+                               q1=option.q1, rng_mode=rng_mode)
+        ap, _ = _d4c_impl(xc, tp, f0, fs_t, fs=fs, fft_size=fft_size,
+                          threshold=config.K_THRESHOLD, rng_mode=rng_mode)
+        return f0, sp, ap
+
+    f0c, spc, apc = jax.jit(jax.vmap(one))(xb)
+    f0c, spc, apc = np.asarray(f0c), np.asarray(spc), np.asarray(apc)
+
+    # Stitch: core frames only, padded-lane shapes are all equal.
+    half = fft_size // 2
+    f0 = np.zeros(n_frames, f0c.dtype)
+    sp = np.zeros((n_frames, half + 1), spc.dtype)
+    ap = np.zeros((n_frames, half + 1), apc.dtype)
+    for c in range(n_chunks):
+        g0 = c * core_f
+        g1 = min(n_frames, g0 + core_f)
+        l0 = g0 - starts_f[c]                    # == halo_f except chunk 0
+        f0[g0:g1] = f0c[c, l0: l0 + g1 - g0]
+        sp[g0:g1] = spc[c, l0: l0 + g1 - g0]
+        ap[g0:g1] = apc[c, l0: l0 + g1 - g0]
+
+    tp = np.arange(n_frames) * fp_s
+    return tp, f0, sp, ap
+
+
+def synthesize_long(f0, sp, ap, fs, *, frame_period=5.0, buffer_size=4096,
+                    frames_per_push=512, rng_mode="fast"):
+    """Synthesize a long parameter track chunk-by-chunk through the
+    streaming synthesizer (exact pulse-phase handoff across chunks)."""
+    from ..models.realtime import StreamingSynthesizer
+
+    f0 = np.asarray(f0)
+    fft_size = 2 * (np.asarray(sp).shape[1] - 1)
+    synth = StreamingSynthesizer(
+        fs, frame_period, fft_size, buffer_size, number_of_pointers=16,
+        rng_mode=rng_mode,
+        dtype=np.float32 if np.asarray(sp).dtype == np.float32
+        else np.float64)
+    out = []
+    n_frames = len(f0)
+    pushed = 0
+    while True:
+        while (pushed < n_frames
+               and synth.add_parameters(
+                   f0[pushed: pushed + frames_per_push],
+                   np.asarray(sp)[pushed: pushed + frames_per_push],
+                   np.asarray(ap)[pushed: pushed + frames_per_push])):
+            pushed += frames_per_push
+        progressed = False
+        while synth.synthesis2():
+            out.append(synth.buffer[:buffer_size].copy())
+            progressed = True
+        if pushed >= n_frames and not progressed:
+            break
+        if not progressed and synth.is_locked():
+            break
+    return np.concatenate(out) if out else np.zeros(0)
