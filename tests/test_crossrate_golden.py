@@ -1,0 +1,84 @@
+"""Stage-output parity against the C++ oracle at 16 kHz and 48 kHz.
+
+The primary golden set (tests/goldens) uses the reference's own
+vaiueo2d.wav fixture at 22050 Hz; these sets were dumped from the same
+reference build on deterministic synthetic vowels (see
+tests/test_multirate.synth_vowel, seed 3) written as 16-bit wavs, so
+fs-dependent derived sizes (fft sizes, decimation ratios, band counts)
+are exercised end-to-end against the oracle."""
+
+import os
+
+import numpy as np
+import pytest
+
+import world_tpu
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def load(dirname):
+    path = os.path.join(HERE, dirname)
+    shapes = {}
+    scalars = {}
+    with open(os.path.join(path, "manifest.txt")) as f:
+        for line in f:
+            parts = line.split()
+            if parts[0] == "scalar":
+                scalars[parts[1]] = int(parts[2])
+            else:
+                shapes[parts[0]] = tuple(int(p) for p in parts[1:])
+    data = {k: np.fromfile(os.path.join(path, k + ".f64")).reshape(v)
+            for k, v in shapes.items()}
+    return data, scalars
+
+
+@pytest.mark.parametrize("dirname", ["goldens_fs16", "goldens_fs48"])
+def test_stage_parity(dirname):
+    g, s = load(dirname)
+    fs = s["fs"]
+    x = g["x"]
+
+    tp, f0d = world_tpu.dio(x, fs)
+    np.testing.assert_allclose(np.asarray(tp), g["dio_tp"], atol=1e-12)
+    f0d = np.asarray(f0d)
+    same = (f0d > 0) == (g["dio_f0"] > 0)
+    assert same.mean() > 0.98, same.mean()
+    v = (f0d > 0) & (g["dio_f0"] > 0) & same
+    np.testing.assert_allclose(f0d[v], g["dio_f0"][v], rtol=1e-9)
+
+    f0s = np.asarray(world_tpu.stone_mask(x, fs, tp, f0d))
+    vs = (f0s > 0) & (g["stonemask_f0"] > 0)
+    cents = 1200 * np.abs(np.log2(f0s[vs] / g["stonemask_f0"][vs]))
+    assert np.sqrt((cents**2).mean()) < 0.01, cents.max()
+
+    htp, hf0 = world_tpu.harvest(x, fs)
+    hf0 = np.asarray(hf0)
+    ref = g["harvest_f0"]
+    assert ((hf0 > 0) == (ref > 0)).mean() > 0.98
+    vh = (hf0 > 0) & (ref > 0)
+    cents = 1200 * np.abs(np.log2(hf0[vh] / ref[vh]))
+    assert np.sqrt((cents**2).mean()) < 1.0, np.sqrt((cents**2).mean())
+
+    sp = np.asarray(world_tpu.cheap_trick(x, fs, htp, jnp_ref(ref)))
+    rel = np.abs(sp - g["cheaptrick_sp"]) / g["cheaptrick_sp"]
+    assert np.median(rel) < 1e-6, np.median(rel)
+    assert rel.max() < 1e-2, rel.max()
+
+    ap = np.asarray(world_tpu.d4c(x, fs, htp, jnp_ref(ref)))
+    assert np.abs(ap - g["d4c_ap"]).max() < 1e-5
+
+    y = np.asarray(world_tpu.synthesis(ref, sp, ap, fs, frame_period=5.0))
+    ref_y = g["synthesis_y"]
+    n = min(len(y), len(ref_y))
+    snr = 10 * np.log10(np.sum(ref_y[:n] ** 2)
+                        / np.sum((ref_y[:n] - y[:n]) ** 2))
+    # 54-58 dB waveform match at these rates: the only deviation is a
+    # ~-37 dB local difference in the final two pulses' content (tail
+    # boundary); the primary 22050 Hz fixture matches at 85 dB.
+    assert snr > 50.0, snr
+
+
+def jnp_ref(a):
+    import jax.numpy as jnp
+    return jnp.asarray(a)
