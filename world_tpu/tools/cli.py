@@ -17,6 +17,7 @@ Usage: python -m world_tpu.tools <subcommand> ...
 """
 
 import argparse
+import os
 import struct
 import sys
 
@@ -275,6 +276,68 @@ def cmd_test(argv):
     print("complete.")
 
 
+def cmd_verify(argv):
+    """Verification mode: run the float64 exact-RNG pipeline against a
+    golden directory dumped from the C++ reference and print accuracy
+    metrics (the SURVEY's 'verification mode' — F0 cents RMSE, envelope
+    error, resynthesis SNR)."""
+    p = argparse.ArgumentParser(prog="verify")
+    p.add_argument("goldens", nargs="?", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "tests", "goldens"))
+    a = p.parse_args(argv)
+    # Verification is defined as float64 + exact RNG: force the CPU
+    # backend regardless of ambient accelerators.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    _force_x64()
+    import json
+
+    import world_tpu
+
+    scalars = {}
+    shapes = {}
+    with open(os.path.join(a.goldens, "manifest.txt")) as f:
+        for line in f:
+            parts = line.split()
+            if parts[0] == "scalar":
+                scalars[parts[1]] = int(parts[2])
+            else:
+                shapes[parts[0]] = tuple(int(v) for v in parts[1:])
+
+    def g(name):
+        return np.fromfile(os.path.join(a.goldens, name + ".f64")) \
+            .reshape(shapes[name])
+
+    fs = scalars["fs"]
+    x = g("x")
+    tp, f0 = world_tpu.harvest(x, fs)
+    f0 = np.asarray(f0)
+    ref = g("harvest_f0")
+    v = (f0 > 0) & (ref > 0)
+    cents = 1200.0 * np.log2(f0[v] / ref[v])
+    sp = np.asarray(world_tpu.cheap_trick(x, fs, tp, f0))
+    ap = np.asarray(world_tpu.d4c(x, fs, tp, f0))
+    y = np.asarray(world_tpu.synthesis(f0, sp, ap, fs, frame_period=5.0))
+    ry = g("synthesis_y")
+    n = min(len(y), len(ry))
+    out = {
+        "vuv_agreement": float(((f0 > 0) == (ref > 0)).mean()),
+        "f0_rmse_cents": float(np.sqrt(np.mean(cents**2))),
+        "envelope_max_rel_err": float(
+            np.max(np.abs(sp - g("cheaptrick_sp")) / g("cheaptrick_sp"))),
+        "aperiodicity_max_abs_err": float(
+            np.max(np.abs(ap - g("d4c_ap")))),
+        "resynthesis_snr_db": float(10 * np.log10(
+            np.sum(ry[:n]**2) / np.sum((ry[:n] - y[:n])**2))),
+    }
+    print(json.dumps(out, indent=2))
+    ok = (out["f0_rmse_cents"] < 1.0 and out["resynthesis_snr_db"] > 40.0
+          and out["vuv_agreement"] > 0.99)
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 COMMANDS = {
     "f0analysis": cmd_f0analysis,
     "spanalysis": cmd_spanalysis,
@@ -283,6 +346,7 @@ COMMANDS = {
     "analysis": cmd_analysis,
     "synthesis": cmd_synthesis,
     "test": cmd_test,
+    "verify": cmd_verify,
 }
 
 
