@@ -12,14 +12,16 @@ Device pipeline (jitted):
   B. channel-run collapse into per-frame candidate lists, +/-3 frame
      overlap smear (gather with traced candidate count), then the
      instantaneous-frequency refinement of every (frame, candidate)
-     pair — the >90%-of-runtime kernel — bucketed by power-of-two fft
-     size and chunked to bound memory.
+     pair — the >90%-of-runtime kernel.  float64 buckets full FFTs by
+     power-of-two size (bit-matching the reference); float32/TPU
+     computes only the <=6 harmonic DFT bins on a frame-centered grid
+     (one waveform slice per frame, no buckets).
   C. neighbor-consistency pruning (vectorized).
-
-The contour fixing (FixStep1-4 incl. Extend/Merge) and the per-section
-zero-phase smoothing are O(frames) sequential logic with negligible
-FLOPs; v0 runs them on the host in numpy (scipy.lfilter for the IIR),
-mirroring the C++ semantics exactly.  TODO(round2): port to lax.scan.
+  D. contour fixing (FixStep1-4 incl. Extend/Merge) and per-section
+     zero-phase smoothing as masked scans on device
+     (models/harvest_contour.py); the op-for-op host-numpy
+     transcription below is kept as the cross-validation oracle for
+     harvest_contour's randomized property test.
 """
 
 import functools
