@@ -379,7 +379,8 @@ def _remove_unreliable(cands, scores):
 
 
 # ---------------------------------------------------------------------------
-# Stage C: contour fixing + smoothing (host numpy, v0)
+# Stage C oracle: op-for-op numpy transcription of FixF0Contour +
+# SmoothF0Contour, used only to property-test harvest_contour.py
 # ---------------------------------------------------------------------------
 
 def _select_best_np(reference, cands, allowed_range):
