@@ -56,3 +56,75 @@ def test_contour_fix_device_matches_host():
                                         jnp.asarray(scores)))
         np.testing.assert_allclose(dev, ref, atol=1e-9, rtol=1e-9,
                                    err_msg=f"trial {trial}")
+
+
+def test_contour_fix_device_edge_cases():
+    """Deterministic shapes that stress specific branches: all-unvoiced,
+    single section, boundary-length runs/gaps, contained/overlapping
+    merges after extension."""
+    import world_tpu.models.harvest as H
+    from world_tpu.models.harvest_contour import fix_and_smooth
+    import jax.numpy as jnp
+
+    F, S = 300, 15
+
+    def run(cands, scores):
+        ref = H._smooth_contour_np(H._fix_contour_np(cands, scores))
+        dev = np.asarray(fix_and_smooth(jnp.asarray(cands),
+                                        jnp.asarray(scores)))
+        np.testing.assert_allclose(dev, ref, atol=1e-9, rtol=1e-9)
+
+    # all unvoiced
+    run(np.zeros((F, S)), np.zeros((F, S)))
+
+    # one long section
+    c = np.zeros((F, S)); s = np.zeros((F, S))
+    c[50:250, 0] = 150.0; s[50:250, 0] = 5.0
+    run(c, s)
+
+    # exactly-threshold run lengths (6 and 7 frames) and gaps (8 and 9)
+    c = np.zeros((F, S)); s = np.zeros((F, S))
+    for st, ln in ((10, 6), (30, 7), (60, 12), (80, 12)):
+        c[st:st+ln, 0] = 140.0; s[st:st+ln, 0] = 4.0
+    # gap of 8 between 60..71 and 80..91 (fill), then far section
+    c[150:190, 0] = 160.0; s[150:190, 0] = 6.0
+    run(c, s)
+
+    # two sections whose extensions overlap, with candidates everywhere
+    rng = np.random.RandomState(11)
+    c = 120.0 + 10.0 * rng.randn(F, S); sgrid = np.abs(rng.randn(F, S))
+    cc = np.zeros((F, S)); ss = np.zeros((F, S))
+    cc[:, :3] = np.abs(c[:, :3]); ss[:, :3] = sgrid[:, :3]
+    cc[100:140] = 0.0; ss[100:140] = 0.0  # hole the extension can cross
+    run(cc, ss)
+
+
+def test_contour_fix_device_matches_host_more():
+    """More randomized trials with harsher section statistics."""
+    import world_tpu.models.harvest as H
+    from world_tpu.models.harvest_contour import fix_and_smooth
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(23)
+    for trial in range(8):
+        F = int(rng.choice([150, 401, 797]))
+        S = int(rng.choice([7, 21, 49]))
+        cands = np.zeros((F, S))
+        scores = np.zeros((F, S))
+        t = 0
+        pitch = 90.0 + 300.0 * rng.rand()
+        while t < F:
+            run_len = rng.randint(1, 80)
+            gap = rng.randint(1, 20)
+            for i in range(t, min(F, t + run_len)):
+                pitch *= 1.0 + 0.03 * rng.randn()
+                pitch = float(np.clip(pitch, 70.0, 750.0))
+                k = rng.randint(1, S)
+                cands[i, :k] = pitch * (1.0 + 0.1 * rng.randn(k))
+                scores[i, :k] = np.abs(rng.randn(k)) * 4.0
+            t += run_len + gap
+        ref = H._smooth_contour_np(H._fix_contour_np(cands, scores))
+        dev = np.asarray(fix_and_smooth(jnp.asarray(cands),
+                                        jnp.asarray(scores)))
+        np.testing.assert_allclose(dev, ref, atol=1e-9, rtol=1e-9,
+                                   err_msg=f"trial {trial} F={F} S={S}")

@@ -107,6 +107,64 @@ def _refine_at_size(x, fs, fft_size, max_len, position, f0):
     return jnp.where(bad, 0.0, t1)
 
 
+def _refine_direct(x, fs_t, max_len, position, f0):
+    """GetRefinedF0 computing only the needed harmonic DFT bins
+    (float32/TPU path): one fixed window, no per-fft-size buckets, and
+    the two FixF0 passes read 2 then 6 bins as windowed cos/sin dots.
+    The common DFT phase offset cancels in |M|^2 and Im(conj(M) D)."""
+    dtype = x.dtype
+    hw = (1.5 * fs_t / f0 + 1.0).astype(jnp.int32)
+    win_len = 2 * hw + 1
+    wlt = win_len.astype(dtype) / fs_t
+    i = jnp.arange(max_len)
+    in_win = i < win_len
+    idx0 = matlab_round((position - hw.astype(dtype) / fs_t) * fs_t)
+    tmp = ((idx0 + i).astype(dtype) - 1.0) / fs_t - position
+    main_window = (0.42 + 0.5 * jnp.cos(2.0 * config.K_PI * tmp / wlt)
+                   + 0.08 * jnp.cos(4.0 * config.K_PI * tmp / wlt))
+    main_window = jnp.where(in_win, main_window, 0.0)
+    nxt = jnp.roll(main_window, -1)
+    prv = jnp.roll(main_window, 1)
+    diff_window = -(nxt - prv) / 2.0
+    diff_window = jnp.where(i == 0, -nxt / 2.0, diff_window)
+    diff_window = jnp.where(i == win_len - 1, prv / 2.0, diff_window)
+    diff_window = jnp.where(in_win, diff_window, 0.0)
+    seg = common.window_slice(x, idx0 - 1, max_len)
+    seg = jnp.where(in_win, seg, 0.0)
+    xm = seg * main_window
+    xd = seg * diff_window
+
+    fftf = jnp.exp2(2.0 + jnp.floor(
+        jnp.log(win_len.astype(dtype)) / config.K_LOG2)).astype(dtype)
+    half_bin = (fftf / 2).astype(jnp.int32)
+
+    def fix(f, n_harmonics):
+        harm = jnp.arange(1, n_harmonics + 1, dtype=dtype)
+        index = jnp.minimum(matlab_round(f * fftf / fs_t * harm), half_bin)
+        index = jnp.maximum(index, 0)
+        omega = (2.0 * config.K_PI / fftf) * index.astype(dtype)
+        phase = omega[:, None] * i.astype(dtype)[None, :]
+        c = jnp.cos(phase)
+        s = jnp.sin(phase)
+        m_re = c @ xm
+        m_im = -(s @ xm)
+        d_re = c @ xd
+        d_im = -(s @ xd)
+        ps = m_re**2 + m_im**2
+        numer = m_re * d_im - m_im * d_re
+        inst = jnp.where(ps == 0.0, 0.0,
+                         index.astype(dtype) * fs_t / fftf
+                         + numer / ps * fs_t / (2.0 * config.K_PI))
+        amp = jnp.sqrt(ps)
+        return jnp.sum(amp * inst) / (jnp.sum(amp * harm)
+                                      + config.K_MY_SAFE_GUARD_MINIMUM)
+
+    t0 = fix(f0, 2)
+    bad = (t0 <= 0.0) | (t0 > f0 * 2.0)
+    t1 = fix(t0, 6)
+    return jnp.where(bad, 0.0, t1)
+
+
 @functools.partial(jax.jit, static_argnames=("fs",))
 def _stone_mask_impl(x, temporal_positions, f0, fs_t, *, fs):
     # fs_t is fs as a *traced* scalar: XLA strength-reduces division by a
@@ -120,13 +178,20 @@ def _stone_mask_impl(x, temporal_positions, f0, fs_t, *, fs):
     frame_fft = 2 ** (2 + jnp.floor(
         jnp.log(hw * 2.0 + 1.0) / config.K_LOG2).astype(jnp.int32))
 
-    refined = jnp.zeros_like(f0)
-    for fft_size in sizes:
-        max_len = fft_size  # win_len <= fft_size/2 by construction
-        vals = jax.vmap(lambda p, f: _refine_at_size(x, fs_t, fft_size,
-                                                     max_len, p, f))(
-            temporal_positions, f0_safe.astype(dtype))
-        refined = jnp.where(frame_fft == fft_size, vals, refined)
+    if dtype == jnp.float64:
+        # Golden path: bucketed full FFTs, bit-matching the reference.
+        refined = jnp.zeros_like(f0)
+        for fft_size in sizes:
+            max_len = fft_size  # win_len <= fft_size/2 by construction
+            vals = jax.vmap(lambda p, f: _refine_at_size(
+                x, fs_t, fft_size, max_len, p, f))(
+                temporal_positions, f0_safe.astype(dtype))
+            refined = jnp.where(frame_fft == fft_size, vals, refined)
+    else:
+        max_len = max(sizes) // 2  # >= 2*hw_max+1 by bucket construction
+        refined = jax.vmap(lambda p, f: _refine_direct(
+            x, fs_t, max_len, p, f))(temporal_positions,
+                                     f0_safe.astype(dtype))
 
     # Reject out-of-range inputs and over-large corrections
     # (src/stonemask.cpp:185-208).
