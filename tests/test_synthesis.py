@@ -18,7 +18,7 @@ def test_synthesis_golden(gold):
     assert y.shape == ref.shape
     s = snr_db(ref, y)
     # Exact RNG + identical math: only FFT/cumsum rounding differs.
-    assert s > 80.0, s
+    assert s > 200.0, s
 
 
 def test_synthesis_fast_quality(gold):

@@ -173,7 +173,12 @@ def _synthesis_impl(f0, spectrogram, aperiodicity, fs_t, *, fs, fft_size,
     offsets = safe_idx - fft_size // 2 + 1
     if dtype == jnp.float64:
         # Exact/golden path: scatter-add with drop, like the C++ OLA loop.
+        # mode="drop" only drops out-of-BOUNDS indices; negative indices
+        # wrap Python-style and would fold early pulses' left tails onto
+        # the end of the waveform — remap them to an always-dropped OOB
+        # index instead.
         targets = offsets[:, None] + jnp.arange(fft_size)[None, :]
+        targets = jnp.where(targets < 0, y_length, targets)
         y = jnp.zeros(y_length, dtype)
         y = y.at[targets].add(responses, mode="drop")
         return y
