@@ -34,8 +34,11 @@ def allreduce_metrics(metrics, mesh=None):
     """Sum numeric metrics across all devices/hosts (psum over a 1-d
     mesh spanning every device)."""
     from jax.sharding import Mesh
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     if mesh is None:
         mesh = Mesh(np.asarray(jax.devices()), ("all",))
