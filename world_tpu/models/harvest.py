@@ -322,33 +322,56 @@ def _refine_all(y, fs_t, positions, cands, f0_floor, f0_ceil, sizes,
         # waveform slice per FRAME shared by its candidates, no buckets.
         # Candidate f0 can undershoot f0_floor by the x0.9 channel
         # widening plus the +-10% acceptance band.
+        #
+        # Adaptive slot count: only ~7*(max channel runs) of the
+        # n_slots = round(channels/10)*7 capacity hold real candidates
+        # (~16-25% for speech).  Compact valid slots to the front of
+        # each frame (stable sort) and refine slot-chunks with a
+        # while_loop that stops once every valid slot is covered —
+        # bitwise-identical results, typically ~3x less work.
         hw_max = int(1.5 * fs_static / (f0_floor * 0.9 * 0.9) + 1.0) + 1
         W = 2 * hw_max + 1
-        f0_grid = f0_safe[: n_frames * n_slots].reshape(n_frames, n_slots)
+        f0_raw = flat_f0[: n_frames * n_slots].reshape(n_frames, n_slots)
+        invalid = f0_raw <= 0.0
+        order = jnp.argsort(invalid, axis=1, stable=True)
+        f0_sorted = jnp.take_along_axis(
+            jnp.where(invalid, 100.0, f0_raw), order, axis=1)
+        n_valid_max = jnp.max(jnp.sum(~invalid, axis=1))
 
-        def one_frame_chunk(args):
-            p, frow = args
-            c0 = matlab_round(p * fs_t + 0.001)
-            seg = common.window_slice(y, c0 - hw_max - 1, W)
-            jj = jnp.arange(-hw_max, hw_max + 1)
-            tmp = ((c0 + jj).astype(frow.dtype) - 1.0) / fs_t - p
-            return jax.vmap(lambda ff: _refine_frame_direct(
-                seg, tmp, fs_t, hw_max, ff, f0_floor, f0_ceil))(frow)
+        # Frame-shared segments and window time bases, computed once.
+        c0 = matlab_round(positions * fs_t + 0.001)
+        segs = jax.vmap(
+            lambda c: common.window_slice(y, c - hw_max - 1, W))(c0)
+        jj = jnp.arange(-hw_max, hw_max + 1)
+        tmps = ((c0[:, None] + jj[None, :]).astype(y.dtype) - 1.0) / fs_t \
+            - positions[:, None]
 
-        fchunk = max(1, chunk // n_slots)
-        fpad = (-n_frames) % fchunk
-        pos_p = jnp.concatenate([positions, jnp.zeros(fpad, positions.dtype)])
-        f0_p = jnp.concatenate(
-            [f0_grid, jnp.full((fpad, n_slots), 100.0, f0_grid.dtype)])
-        r, s = jax.lax.map(
-            lambda args: jax.vmap(one_frame_chunk)(args),
-            (pos_p.reshape(-1, fchunk),
-             f0_p.reshape(-1, fchunk, n_slots)))
-        refined = r.reshape(-1, n_slots)[:n_frames].reshape(-1)
-        scores = s.reshape(-1, n_slots)[:n_frames].reshape(-1)
-        used = flat_f0[: n_frames * n_slots] > 0.0
-        return (jnp.where(used, refined, 0.0).reshape(n_frames, n_slots),
-                jnp.where(used, scores, 0.0).reshape(n_frames, n_slots))
+        sc = 8
+        s_pad = (-n_slots) % sc
+        f0_sorted = jnp.concatenate(
+            [f0_sorted, jnp.full((n_frames, s_pad), 100.0, y.dtype)], 1)
+        needed = (n_valid_max + sc - 1) // sc
+
+        def body(carry):
+            i, r_acc, s_acc = carry
+            fchunk = jax.lax.dynamic_slice(
+                f0_sorted, (0, i * sc), (n_frames, sc))
+            r, sco = jax.vmap(lambda seg, tmp, frow: jax.vmap(
+                lambda ff: _refine_frame_direct(
+                    seg, tmp, fs_t, hw_max, ff, f0_floor, f0_ceil))(frow)
+            )(segs, tmps, fchunk)
+            r_acc = jax.lax.dynamic_update_slice(r_acc, r, (0, i * sc))
+            s_acc = jax.lax.dynamic_update_slice(s_acc, sco, (0, i * sc))
+            return i + 1, r_acc, s_acc
+
+        zeros = jnp.zeros((n_frames, n_slots + s_pad), y.dtype)
+        _, r_sorted, s_sorted = jax.lax.while_loop(
+            lambda c: c[0] < needed, body, (0, zeros, zeros))
+        inv = jnp.argsort(order, axis=1, stable=True)
+        refined = jnp.take_along_axis(r_sorted[:, :n_slots], inv, axis=1)
+        scores = jnp.take_along_axis(s_sorted[:, :n_slots], inv, axis=1)
+        return (jnp.where(~invalid, refined, 0.0),
+                jnp.where(~invalid, scores, 0.0))
 
     refined = jnp.where(usable, refined, 0.0)[:n]
     scores = jnp.where(usable, scores, 0.0)[:n]
