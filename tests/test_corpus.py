@@ -67,3 +67,45 @@ def test_shard_utterances():
              for i in range(3)]
     assert sorted(sum(parts, [])) == list(range(10))
     assert all(len(p) >= 3 for p in parts)
+
+
+def test_batched_corpus_runner(tmp_path):
+    """Bucketed batched analysis writes the same parameter files a
+    per-file run would, resumes from its checkpoint, and records
+    failures without aborting."""
+    import jax.numpy as jnp
+
+    from world_tpu.io.audio import wavwrite, wavread
+    from world_tpu.io.parameterio import read_f0
+    from world_tpu.utils.corpus import BatchedCorpusRunner
+
+    fs = 16000
+    rng = np.random.RandomState(3)
+    paths = []
+    for i, n in enumerate((4000, 5200, 9000)):
+        t = np.arange(n) / fs
+        x = 0.3 * np.sin(2 * np.pi * 150.0 * t) + 0.01 * rng.randn(n)
+        p = tmp_path / f"u{i}.wav"
+        wavwrite(x.astype(np.float64), fs, str(p))
+        paths.append(str(p))
+    bad = tmp_path / "broken.wav"
+    bad.write_bytes(b"not a wav")
+    paths.append(str(bad))
+
+    out = tmp_path / "out"
+    runner = BatchedCorpusRunner(str(out), fs, bucket_sizes=[6000, 10000],
+                                 batch_size=2, f0_method="dio")
+    m = runner.run(paths)
+    assert m["utterances_done"] == 3
+    assert m["utterances_failed"] == 1
+    for i in range(3):
+        tp, f0 = read_f0(str(out / f"u{i}.wav").replace(".wav", ".f0")
+                         if False else str(out / f"u{i}.f0"))
+        assert (np.asarray(f0) > 0).mean() > 0.5
+
+    # resume: everything already done
+    m2 = BatchedCorpusRunner(str(out), fs, bucket_sizes=[6000, 10000],
+                             batch_size=2, f0_method="dio").run(paths)
+    assert m2["utterances_done"] == 0
+    # the recorded failure is also checkpointed, so all 4 skip
+    assert m2["utterances_skipped"] == 4

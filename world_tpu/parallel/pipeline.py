@@ -65,11 +65,13 @@ def pad_and_bucket(waveforms, bucket_sizes):
 
 
 def make_batch_step(fs, x_length, frame_period=5.0, rng_mode="fast",
-                    mesh=None, f0_method="dio"):
-    """Build a jitted batched analysis+synthesis step.
+                    mesh=None, f0_method="dio", with_synthesis=True):
+    """Build a jitted batched analysis(+synthesis) step.
 
     Returns step(x_batch (B, x_length)) ->
-    (f0 (B,F), sp (B,F,K), ap (B,F,K), y (B,y_length)).
+    (f0 (B,F), sp (B,F,K), ap (B,F,K), y (B,y_length));
+    with_synthesis=False skips resynthesis and returns y=None
+    (corpus analysis jobs).
 
     With ``mesh`` given, intermediate tensors carry sharding constraints:
     batch over 'data', frames over 'frame'.
@@ -107,6 +109,8 @@ def make_batch_step(fs, x_length, frame_period=5.0, rng_mode="fast",
             ap, _ = _d4c_impl(x, tp, f0, fs_t, fs=fs, fft_size=fft_size,
                               threshold=config.K_THRESHOLD,
                               rng_mode=rng_mode)
+        if not with_synthesis:
+            return f0, sp, ap, None
         with jax.named_scope("world_synthesis"):
             y = _synthesis_impl(
                 f0, sp, ap, fs_t, fs=fs, fft_size=fft_size,
@@ -122,7 +126,8 @@ def make_batch_step(fs, x_length, frame_period=5.0, rng_mode="fast",
         f0 = constrain(f0, P("data", "frame"))
         sp = constrain(sp, P("data", "frame", None))
         ap = constrain(ap, P("data", "frame", None))
-        y = constrain(y, P("data", None))
+        if y is not None:
+            y = constrain(y, P("data", None))
         return f0, sp, ap, y
 
     return jax.jit(step)

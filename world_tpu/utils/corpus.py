@@ -128,3 +128,124 @@ class CorpusRunner:
         }
         self.log(f"[corpus] {json.dumps(metrics)}")
         return metrics
+
+
+class BatchedCorpusRunner(CorpusRunner):
+    """Corpus analysis through the jitted batched pipeline.
+
+    Wavs are bucketed by padded length (one compile per bucket) and
+    analyzed ``batch_size`` at a time in float32 fast mode — the TPU
+    production path (BASELINE config: "batched corpus sharded across a
+    pod").  Parameter files, checkpointing and retries behave like the
+    per-file runner; frames beyond each utterance's true length are
+    cropped before writing.
+    """
+
+    def __init__(self, out_dir, fs, bucket_sizes, batch_size=16,
+                 frame_period=5.0, f0_method="harvest", mesh=None, **kw):
+        super().__init__(out_dir, frame_period=frame_period,
+                         f0_method=f0_method, **kw)
+        self.fs = fs
+        self.bucket_sizes = sorted(bucket_sizes)
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self._steps = {}
+
+    def _step_for(self, length):
+        if length not in self._steps:
+            from ..parallel.pipeline import make_batch_step
+            self._steps[length] = make_batch_step(
+                self.fs, length, frame_period=self.frame_period,
+                rng_mode=self.rng_mode, mesh=self.mesh,
+                f0_method=self.f0_method, with_synthesis=False)
+        return self._steps[length]
+
+    def run(self, wav_paths):
+        import jax.numpy as jnp
+
+        from .. import config
+        from ..io.audio import wavread
+        from ..io.parameterio import (write_aperiodicity, write_f0,
+                                      write_spectral_envelope)
+        from ..parallel.pipeline import pad_and_bucket
+
+        t_start = time.time()
+        audio_seconds = 0.0
+        frames = 0
+        n_done = n_skipped = n_failed = 0
+
+        todo = []
+        for p in wav_paths:
+            if self.checkpoint.is_done(os.path.basename(p)):
+                n_skipped += 1
+            else:
+                todo.append(p)
+        waves = []
+        paths = []
+        for p in todo:
+            try:
+                x, fs, _ = wavread(p)
+                if fs != self.fs:
+                    raise ValueError(f"fs {fs} != runner fs {self.fs}")
+                waves.append(np.asarray(x, np.float32))
+                paths.append(p)
+            except Exception as e:  # noqa: BLE001 — record and continue
+                self.checkpoint.mark(os.path.basename(p), status="failed",
+                                     error=f"{type(e).__name__}: {e}")
+                n_failed += 1
+
+        buckets = pad_and_bucket(waves, self.bucket_sizes)
+        fft_size = config.get_fft_size_for_cheaptrick(self.fs)
+        for length, (arr, lengths, idx) in sorted(buckets.items()):
+            step = self._step_for(length)
+            for b0 in range(0, len(idx), self.batch_size):
+                rows = arr[b0: b0 + self.batch_size]
+                pad = self.batch_size - len(rows)
+                if pad:
+                    rows = np.concatenate(
+                        [rows, np.zeros((pad, length), np.float32)])
+                f0b, spb, apb, _ = step(jnp.asarray(rows))
+                f0b, spb, apb = (np.asarray(f0b), np.asarray(spb),
+                                 np.asarray(apb))
+                for row in range(min(self.batch_size, len(idx) - b0)):
+                    i = idx[b0 + row]
+                    true_len = int(lengths[b0 + row])
+                    nf = config.get_samples_for_dio(
+                        self.fs, true_len, self.frame_period)
+                    stem = os.path.join(self.out_dir, os.path.splitext(
+                        os.path.basename(paths[i]))[0])
+                    try:
+                        write_f0(stem + ".f0", f0b[row][:nf].astype(
+                            np.float64), self.frame_period)
+                        write_spectral_envelope(
+                            stem + ".sp", spb[row][:nf].astype(np.float64),
+                            self.fs, self.frame_period, fft_size)
+                        write_aperiodicity(
+                            stem + ".ap", apb[row][:nf].astype(np.float64),
+                            self.fs, self.frame_period, fft_size)
+                        self.checkpoint.mark(
+                            os.path.basename(paths[i]), status="ok",
+                            seconds=true_len / self.fs, frames=nf)
+                        audio_seconds += true_len / self.fs
+                        frames += nf
+                        n_done += 1
+                    except Exception as e:  # noqa: BLE001
+                        self.checkpoint.mark(
+                            os.path.basename(paths[i]), status="failed",
+                            error=f"{type(e).__name__}: {e}")
+                        n_failed += 1
+
+        wall = time.time() - t_start
+        metrics = {
+            "utterances_done": n_done,
+            "utterances_skipped": n_skipped,
+            "utterances_failed": n_failed,
+            "audio_seconds": round(audio_seconds, 3),
+            "frames": frames,
+            "wall_seconds": round(wall, 3),
+            "frames_per_second": round(frames / wall, 1) if wall else 0.0,
+            "realtime_factor": round(audio_seconds / wall, 2) if wall
+            else 0.0,
+        }
+        self.log(f"[corpus] {json.dumps(metrics)}")
+        return metrics
