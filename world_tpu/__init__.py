@@ -12,6 +12,8 @@ Public API mirrors the reference C library's eight entry points
     analyze / synthesize               -- full pipeline conveniences
 """
 
+__version__ = "0.1.0"
+
 import dataclasses
 
 import jax.numpy as jnp
