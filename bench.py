@@ -1,16 +1,25 @@
 """Benchmark: aggregate real-time factor of the full WORLD pipeline.
 
-Runs the batched analysis+synthesis step (dio -> stonemask -> cheaptrick
--> d4c -> synthesis, float32 fast mode) on the real TPU chip and prints
-one JSON line:
+Times BOTH pipelines (harvest -> cheaptrick -> d4c -> synthesis, the
+reference's canonical quality path per test/test.cpp:393-396, and
+dio -> stonemask -> ..., the speed path) plus per-stage ms on the real
+TPU chip, printing ONE JSON line whose headline metric is the
+harvest-path RTF:
 
-  {"metric": "pipeline_rtf_per_chip", "value": N, "unit": "x_realtime",
-   "vs_baseline": M}
+  {"metric": "harvest_pipeline_rtf_per_chip", "value": N,
+   "unit": "x_realtime", "vs_baseline": M, "dio_pipeline_rtf": ...,
+   "stage_ms": {...}}
 
 Baseline: the single-core C++ reference processes the 0.794 s fixture in
 ~0.286 s total (Harvest 212 ms + CheapTrick 11 ms + D4C 47 ms +
 Synthesis 8 ms), i.e. ~2.78x real time.  BASELINE.md's target for this
 build is >= 50x real time per chip.
+
+Timing honesty (see CLAUDE.md): the TPU runtime memoizes repeat
+executions by input content across processes and block_until_ready can
+return early, so every timed call uses entropy-fresh inputs and
+completion is forced by fetching a tiny pre-compiled slice of every
+output.
 """
 
 import json
@@ -19,6 +28,27 @@ import time
 import numpy as np
 
 CPP_BASELINE_RTF = 0.793651 / 0.286  # reference single-core, test.cpp timers
+BATCH = 16
+ITERS = 4
+
+
+def _timed(step, tail, make_input, iters=ITERS):
+    """Median wall-clock of step(x) with entropy-fresh inputs and forced
+    completion via a tiny pre-compiled output fetch."""
+    import jax
+
+    out = step(make_input())  # warmup / compile
+    checksum = float(np.asarray(tail(out)).sum())
+    inputs = [make_input() for _ in range(iters)]
+    jax.block_until_ready(inputs)
+    times = []
+    for xb in inputs:
+        t0 = time.perf_counter()
+        out = step(xb)
+        checksum += float(np.asarray(tail(out)).sum())
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(checksum)
+    return float(np.median(times))
 
 
 def main():
@@ -30,52 +60,128 @@ def main():
     x = np.fromfile("tests/goldens/x.f64").astype(np.float32)
     fs = 22050
     duration_s = len(x) / fs
-
-    batch = 16
-    # The TPU runtime memoizes repeat executions by input *content*,
-    # across processes (repeating values ever submitted before yields
-    # physically impossible sub-ms step times).  Entropy-seeded scales
-    # guarantee every iteration is a never-before-seen computation.
+    audio_seconds = BATCH * duration_s
     rng = np.random.default_rng()  # OS-entropy seed, run-unique
-    xb0 = x[None, :] * (0.5 + rng.random((batch, 1), dtype=np.float32))
-    step = jax.jit(make_batch_step(fs, len(x), rng_mode="fast"))
-    # Tiny slice of every output: fetching it forces true completion of
-    # the step without moving MBs over the device tunnel per iteration.
-    tail = jax.jit(lambda f0, sp, ap, y: (f0[:, -1], sp[:, -1, -1],
-                                          ap[:, -1, -1], y[:, -8:]))
 
-    # warmup / compile
-    out = step(jnp.asarray(xb0))
-    checksum = float(np.asarray(tail(*out)[3]).sum())
+    def fresh():
+        return jnp.asarray(
+            x[None, :] * (0.5 + rng.random((BATCH, 1), dtype=np.float32)))
 
-    iters = 5
-    inputs = [
-        jnp.asarray(x[None, :]
-                    * (0.5 + rng.random((batch, 1), dtype=np.float32)))
-        for _ in range(iters)
-    ]
-    jax.block_until_ready(inputs)
-    # block_until_ready has been observed to return early on this
-    # backend (first post-warmup call "completes" in 0.2 ms); a host
-    # fetch of a tiny slice of every output forces true completion
-    # without compiling anything inside the timed region.
-    dt = 0.0
-    for xb in inputs:
-        t0 = time.perf_counter()
-        out = step(xb)
-        checksum += float(np.asarray(tail(*out)[3]).sum())
-        dt += time.perf_counter() - t0
-    assert np.isfinite(checksum)
+    tail4 = jax.jit(lambda o: jnp.concatenate(
+        [o[0][:, -1], o[1][:, -1, -1], o[2][:, -1, -1], o[3][:, -8:].ravel()]))
 
-    audio_seconds = batch * duration_s * iters
-    rtf = audio_seconds / dt
-    result = {
-        "metric": "pipeline_rtf_per_chip",
-        "value": round(rtf, 2),
+    result = {}
+    for method in ("harvest", "dio"):
+        step = jax.jit(make_batch_step(fs, len(x), rng_mode="fast",
+                                       f0_method=method))
+        dt = _timed(step, tail4, fresh)
+        result[f"{method}_pipeline_rtf"] = round(audio_seconds / dt, 2)
+
+    # ---- per-stage ms (B=16 batch, one fused vmapped call per stage) ----
+    from world_tpu import config
+    from world_tpu.models.cheaptrick import _cheap_trick_impl
+    from world_tpu.models.d4c import _d4c_impl
+    from world_tpu.models.dio import _dio_impl
+    from world_tpu.models.harvest import _harvest_impl
+    from world_tpu.models.stonemask import _stone_mask_impl
+    from world_tpu.models.synthesis import _synthesis_impl
+
+    option = config.CheapTrickOption().resolve(fs)
+    fft_size = option.fft_size
+    frame_period = 5.0
+    f0_length = config.get_samples_for_dio(fs, len(x), frame_period)
+    y_length = int((f0_length - 1) * frame_period / 1000.0 * fs) + 1
+    fs_f = float(fs)
+
+    harvest_f0 = jax.jit(jax.vmap(lambda xc: _harvest_impl(
+        xc, fs=fs, frame_period=frame_period, f0_floor=config.K_FLOOR_F0,
+        f0_ceil=config.K_CEIL_F0)))
+
+    def dio_sm(xc):
+        tp, f0 = _dio_impl(xc, fs=fs, frame_period=frame_period,
+                           f0_floor=config.K_FLOOR_F0,
+                           f0_ceil=config.K_CEIL_F0, channels_in_octave=2.0,
+                           speed=1, allowed_range=0.1)
+        return tp, _stone_mask_impl(xc, tp, f0, jnp.asarray(fs_f, xc.dtype),
+                                    fs=fs)
+
+    dio_f0 = jax.jit(jax.vmap(dio_sm))
+    cheaptrick = jax.jit(jax.vmap(lambda xc, tp, f0: _cheap_trick_impl(
+        xc, tp, f0, fs=fs, fft_size=fft_size, q1=option.q1,
+        rng_mode="fast")))
+    d4c = jax.jit(jax.vmap(lambda xc, tp, f0: _d4c_impl(
+        xc, tp, f0, jnp.asarray(fs_f, xc.dtype), fs=fs, fft_size=fft_size,
+        threshold=config.K_THRESHOLD, rng_mode="fast")[0]))
+    synth = jax.jit(jax.vmap(lambda f0, sp, ap: _synthesis_impl(
+        f0, sp, ap, jnp.asarray(fs_f, sp.dtype), fs=fs, fft_size=fft_size,
+        frame_period=frame_period, y_length=y_length,
+        max_pulses=min(y_length, int(y_length / fs_f * 1500) + 64),
+        rng_mode="fast")))
+
+    def stage_inputs():
+        xb = fresh()
+        tp, f0 = jax.block_until_ready(dio_f0(xb))
+        sp = jax.block_until_ready(cheaptrick(xb, tp, f0))
+        ap = jax.block_until_ready(d4c(xb, tp, f0))
+        return xb, tp, f0, sp, ap
+
+    tail2 = jax.jit(lambda o: o[1][:, -4:].ravel())
+    tail1 = jax.jit(lambda o: o[:, -4:].ravel() if o.ndim == 2
+                    else o[:, -1, -4:].ravel())
+    stage_ms = {}
+    stage_ms["harvest"] = 1e3 * _timed(
+        harvest_f0, tail2, fresh, iters=3)
+    stage_ms["dio_stonemask"] = 1e3 * _timed(dio_f0, tail2, fresh, iters=3)
+    for name, fn in (("cheaptrick", cheaptrick), ("d4c", d4c)):
+        stage_ms[name] = 1e3 * _timed(
+            lambda args, fn=fn: fn(args[0], args[1], args[2]),
+            tail1, stage_inputs, iters=3)
+    stage_ms["synthesis"] = 1e3 * _timed(
+        lambda args: synth(args[2], args[3], args[4]),
+        tail1, stage_inputs, iters=3)
+    result["stage_ms"] = {k: round(v, 1) for k, v in stage_ms.items()}
+    result["batch"] = BATCH
+    result["audio_seconds_per_step"] = round(audio_seconds, 3)
+
+    # ---- streaming synthesis RTF (reference test.cpp:300-339 claim:
+    # real-time rendering at 64-sample buffers) -------------------------
+    from world_tpu.models.realtime import StreamingSynthesizer
+
+    def g64(name, shape):
+        return np.fromfile(f"tests/goldens/{name}.f64").reshape(shape)
+
+    f0g = g64("harvest_f0", (-1,)).astype(np.float32)
+    spg = g64("cheaptrick_sp", (len(f0g), -1)).astype(np.float32)
+    apg = g64("d4c_ap", (len(f0g), -1)).astype(np.float32)
+    fftg = 2 * (spg.shape[1] - 1)
+    streaming = {}
+    for bs in (64, 4096):
+        times = []
+        for it in range(3):
+            synth = StreamingSynthesizer(fs, 5.0, fftg, bs,
+                                         number_of_pointers=200,
+                                         rng_mode="fast", dtype=np.float32)
+            scale = np.float32(0.5 + rng.random())  # content-fresh
+            ok = synth.add_parameters(f0g, spg * scale, apg)
+            assert ok
+            rendered = 0
+            t0 = time.perf_counter()
+            while synth.synthesis2():
+                rendered += bs
+            times.append(time.perf_counter() - t0)
+        # first iteration compiles the response buckets; take the rest
+        dt = float(np.median(times[1:]))
+        streaming[f"rtf_buf{bs}"] = round(rendered / fs / dt, 2)
+    result["streaming"] = streaming
+
+    rtf = result["harvest_pipeline_rtf"]
+    print(json.dumps({
+        "metric": "harvest_pipeline_rtf_per_chip",
+        "value": rtf,
         "unit": "x_realtime",
         "vs_baseline": round(rtf / CPP_BASELINE_RTF, 2),
-    }
-    print(json.dumps(result))
+        **result,
+    }))
 
 
 if __name__ == "__main__":

@@ -36,3 +36,22 @@ def test_d4c_fast_mode(gold):
     default_ref = np.all(ref == 1.0 - 1e-12, axis=1)
     default_mine = np.all(ap == 1.0 - 1e-12, axis=1)
     assert (default_mine == default_ref).mean() > 0.95
+
+
+def test_d4c_custom_threshold(gold):
+    """Non-default D4COption.threshold (0.0 passes every voiced frame
+    through the LoveTrain gate) against a C++ golden."""
+    from world_tpu import config
+    fs = gold.scalar("fs")
+    ap = np.asarray(d4c(gold["x"], fs, gold["harvest_tp"],
+                        gold["harvest_f0"], gold.scalar("fft_size"),
+                        option=config.D4COption(threshold=0.0),
+                        rng_mode="exact"))
+    ref = gold["d4c_ap_thr0"]
+    assert ap.shape == ref.shape
+    default_ref = np.all(ref == 1.0 - 1e-12, axis=1)
+    default_mine = np.all(ap == 1.0 - 1e-12, axis=1)
+    np.testing.assert_array_equal(default_mine, default_ref)
+    act = ~default_ref
+    db = 20 * np.abs(np.log10(ap[act]) - np.log10(ref[act]))
+    assert db.max() < 0.01, db.max()

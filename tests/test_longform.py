@@ -51,6 +51,36 @@ def test_chunked_analysis_matches_direct():
     assert np.median(db) < 0.1, np.median(db)
 
 
+def test_chunked_harvest_matches_direct():
+    """Harvest's contour logic reaches up to ~0.2 s from a voiced-section
+    edge (FixStep3 extension + smoothing decay); the default halo must
+    cover it so chunked == whole-signal away from chunk edges."""
+    fs = 16000
+    x, _ = _long_vowelish(fs, 12.0)
+
+    tp_c, f0_c, sp_c, ap_c = analyze_long(
+        x, fs, chunk_seconds=4.0, f0_method="harvest")
+
+    tp, f0 = world_tpu.harvest(x, fs)
+    sp = np.asarray(world_tpu.cheap_trick(x, fs, tp, f0))
+    f0 = np.asarray(f0)
+
+    assert f0_c.shape == f0.shape
+    n = len(f0)
+    core = int(round(4.0 / 0.005))
+    interior = np.ones(n, bool)
+    for b in range(0, n, core):
+        interior[max(0, b - 2): b + 3] = False
+    both = (f0 > 0) & (f0_c > 0) & interior
+    assert both.sum() > n // 2
+    vuv_agree = ((f0 > 0) == (f0_c > 0))[interior].mean()
+    assert vuv_agree > 0.99, vuv_agree
+    cents = 1200 * np.abs(np.log2(f0_c[both] / f0[both]))
+    assert np.percentile(cents, 95) < 1.0, np.percentile(cents, 95)
+    db = np.abs(10 * np.log10(sp_c[both] / sp[both]))
+    assert np.median(db) < 0.1, np.median(db)
+
+
 def test_long_synthesis_streaming():
     fs = 16000
     x, _ = _long_vowelish(fs, 6.0)

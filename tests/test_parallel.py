@@ -30,6 +30,32 @@ def test_mesh_and_sharded_step_matches_single_device(gold):
     np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_s), atol=1e-12)
 
 
+def test_sharded_harvest_matches_single_device(gold):
+    """The harvest path (scan-heavy contour logic) under a mesh with
+    sharding constraints must equal the unsharded run."""
+    assert len(jax.devices()) == 8
+    fs = gold.scalar("fs")
+    import __graft_entry__ as ge
+    batch = ge._voiced(4096, fs, batch=4)
+
+    step_plain = make_batch_step(fs, 4096, rng_mode="none",
+                                 f0_method="harvest")
+    f0_p, sp_p, ap_p, y_p = step_plain(jnp.asarray(batch))
+    assert (np.asarray(f0_p) > 0).sum() > 0  # fixture must be voiced
+
+    mesh = make_mesh(n_data=4, n_frame=2)
+    step_sharded = make_batch_step(fs, 4096, rng_mode="none", mesh=mesh,
+                                   f0_method="harvest")
+    xb = jax.device_put(jnp.asarray(batch),
+                        NamedSharding(mesh, P("data", None)))
+    f0_s, sp_s, ap_s, y_s = step_sharded(xb)
+
+    np.testing.assert_allclose(np.asarray(f0_p), np.asarray(f0_s), atol=0)
+    np.testing.assert_allclose(np.asarray(sp_p), np.asarray(sp_s),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_s), atol=1e-12)
+
+
 def test_pad_and_bucket():
     ws = [np.ones(100), np.ones(900), np.ones(1500), np.ones(80)]
     buckets = pad_and_bucket(ws, [128, 1024, 2048])

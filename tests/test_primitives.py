@@ -18,6 +18,16 @@ def test_irfft_convention(gold):
     np.testing.assert_allclose(out, gold["irfft64_out"], atol=1e-12)
 
 
+def test_fast_fftfilt(gold):
+    # Golden dumped from fast_fftfilt (src/matlabfunctions.cpp:266-301)
+    # with x=sin(0.37 i)+0.25 cos(1.1 i^2) (19), h=1/(1+i^2) (7), n=32.
+    i = np.arange(19)
+    x = np.sin(0.37 * i) + 0.25 * np.cos(1.1 * i * i)
+    h = 1.0 / (1.0 + np.arange(7.0) ** 2)
+    out = np.asarray(matlab.fast_fftfilt(jnp.asarray(x), jnp.asarray(h), 32))
+    np.testing.assert_allclose(out, gold["fast_fftfilt"], atol=1e-15)
+
+
 def test_nuttall(gold):
     np.testing.assert_allclose(
         np.asarray(common.nuttall_window(64)), gold["nuttall_64"], atol=1e-13)

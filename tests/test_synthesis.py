@@ -37,3 +37,24 @@ def test_synthesis_fast_quality(gold):
     db = 20 * np.abs(np.log10(ye[act] / re[act]))
     assert np.median(db) < 0.5, np.median(db)
     assert db.max() < 3.0, db.max()
+
+
+def test_ola_accumulate_small_fft():
+    """fft_size=512 (fs 8000/11025) must pad to the 1024 store block
+    instead of asserting (synthesis float32 fast path)."""
+    import jax.numpy as jnp
+
+    from world_tpu.ops.pallas_ola import ola_accumulate
+
+    rng = np.random.default_rng(0)
+    batch, pulses, fft = 2, 5, 512
+    resp = rng.standard_normal((batch, pulses, fft)).astype(np.float32)
+    y_padded = 4000
+    offs = rng.integers(0, y_padded - fft, (batch, pulses)).astype(np.int32)
+    out = np.asarray(ola_accumulate(jnp.asarray(resp), jnp.asarray(offs),
+                                    y_padded=y_padded))
+    ref = np.zeros((batch, y_padded), np.float32)
+    for b in range(batch):
+        for p in range(pulses):
+            ref[b, offs[b, p]: offs[b, p] + fft] += resp[b, p]
+    np.testing.assert_allclose(out, ref, atol=1e-5)

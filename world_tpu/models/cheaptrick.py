@@ -74,34 +74,40 @@ def _smoothing_with_recovery(smoothed_power, f0, fs, fft_size, q1):
     return jnp.exp(envelope[: half + 1])
 
 
-def _frame_kernel(x, fs, fft_size, q1, f0_floor, b_max, b_cap_dc, f0,
+def _frame_kernel(x, fs, fft_size, q1, f0_floor, f0_cap, b_max, b_cap_dc, f0,
                   position, win_dither, spec_dither):
     f0 = jnp.where(f0 <= f0_floor, config.K_DEFAULT_F0, f0)
     waveform = _windowed_waveform(x, fs, f0, position, fft_size, win_dither)
     spectrum = jnp.fft.rfft(waveform)
     power = spectrum.real**2 + spectrum.imag**2
-    power = common.dc_correction(power, f0, fs, fft_size, b_cap=b_cap_dc)
-    width = jnp.minimum(f0, 1200.0) * 2.0 / 3.0
+    # f0 is clamped at the static cap for the DC-correction/smoothing
+    # bins (the cap is sized from the caller's f0_ceil, so it only binds
+    # on f0 values above the declared ceiling — a documented deviation
+    # instead of silent zero-fill).
+    f0_b = jnp.minimum(f0, f0_cap)
+    power = common.dc_correction(power, f0_b, fs, fft_size, b_cap=b_cap_dc)
+    width = f0_b * 2.0 / 3.0
     power = common.linear_smoothing(power, width, fs, fft_size, b_max)
     power = power + jnp.abs(spec_dither) * config.K_EPS
     return _smoothing_with_recovery(power, f0, fs, fft_size, q1)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("fs", "fft_size", "q1", "rng_mode"))
+                   static_argnames=("fs", "fft_size", "q1", "rng_mode",
+                                    "f0_cap"))
 def _cheap_trick_impl(x, temporal_positions, f0, *, fs, fft_size, q1,
-                      rng_mode):
+                      rng_mode, f0_cap=1200.0):
     dtype = x.dtype
     half = fft_size // 2
     f0_floor = config.get_f0_floor_for_cheaptrick(fs, fft_size)
-    # Static bound on the smoothing mirror.  Widths are 2*f0/3; F0 tracks
-    # are bounded by kCeilF0*1.1 (and kDefaultF0=500 for unvoiced), so a
-    # 1200 Hz cap is generous while keeping the (bins, b_max) windowed-sum
-    # temporaries small.  Widths are clamped to the cap for safety.
-    f0_cap = 1200.0
+    # Static bound on the smoothing mirror.  Widths are 2*f0/3; default F0
+    # tracks are bounded by kCeilF0*1.1 (and kDefaultF0=500 for unvoiced),
+    # so the default 1200 Hz cap is generous.  Callers with a larger
+    # f0_ceil pass a larger cap (see cheap_trick); f0 is clamped to the
+    # cap inside the kernel so an out-of-range value degrades gracefully
+    # instead of silently zero-filling replica bins.
     b_max = int((2.0 * f0_cap / 3.0) * fft_size / fs) + 2
-    # DC-correction replica prefix: exact for every f0 <= f0_cap; F0
-    # trackers are bounded by kCeilF0*1.1 and kDefaultF0, both < 1200.
+    # DC-correction replica prefix: exact for every f0 <= f0_cap.
     b_cap_dc = int(f0_cap * fft_size / fs) + 4
 
     f0_eff = jnp.where(f0 <= f0_floor, config.K_DEFAULT_F0, f0).astype(dtype)
@@ -130,18 +136,31 @@ def _cheap_trick_impl(x, temporal_positions, f0, *, fs, fft_size, q1,
         spec_dither = jnp.zeros((n_frames, half + 1), dtype)
 
     kernel = functools.partial(_frame_kernel, x, fs, fft_size, q1, f0_floor,
-                               b_max, b_cap_dc)
+                               jnp.asarray(f0_cap, dtype), b_max, b_cap_dc)
     return jax.vmap(kernel)(f0_eff, temporal_positions, win_dither,
                             spec_dither)
 
 
-def cheap_trick(x, fs, temporal_positions, f0, option=None, rng_mode="exact"):
+def f0_cap_for(f0_ceil):
+    """Static smoothing-bin cap for a declared F0 ceiling.
+
+    Estimators emit up to f0_ceil * 1.1 (harvest widens its search range,
+    src/harvest.cpp:1149-1150); keep 1200 as the floor so default configs
+    share one compiled kernel."""
+    return max(1200.0, float(f0_ceil) * 1.1) if f0_ceil else 1200.0
+
+
+def cheap_trick(x, fs, temporal_positions, f0, option=None, rng_mode="exact",
+                f0_ceil=None):
     """Spectral envelope estimation (reference src/cheaptrick.cpp:200-229).
 
+    ``f0_ceil``: the estimator ceiling the f0 track was produced with, if
+    above the default kCeilF0 (800); sizes the static smoothing buffers.
     Returns spectrogram of shape (f0_length, fft_size//2 + 1).
     """
     option = (option or config.CheapTrickOption()).resolve(fs)
     x = jnp.asarray(x)
     return _cheap_trick_impl(
         x, jnp.asarray(temporal_positions, x.dtype), jnp.asarray(f0, x.dtype),
-        fs=fs, fft_size=option.fft_size, q1=option.q1, rng_mode=rng_mode)
+        fs=fs, fft_size=option.fft_size, q1=option.q1, rng_mode=rng_mode,
+        f0_cap=f0_cap_for(f0_ceil))

@@ -107,14 +107,15 @@ def _coarse_aperiodicity(static_group_delay, fs_t, fft_size, n_bands, window,
 
 
 def _d4c_body_frame(x, fs_t, fft_size_d4c, n_bands, window, window_length,
-                    b_max, f0, position, dithers):
+                    f0_cap, b_max, f0, position, dithers):
     """One frame of D4CGeneralBody (src/d4c.cpp:293-321): coarse
     aperiodicity values per band, before the frequency-axis interp."""
     dtype = x.dtype
     half = fft_size_d4c // 2
-    # Smoothing widths are f0 and f0/2 with f0 <= ~kCeilF0*1.1; cap at
-    # 1200 Hz to keep the windowed-sum temporaries small (see cheaptrick).
-    f0 = jnp.minimum(f0, 1200.0)
+    # Smoothing widths are f0 and f0/2; the static cap bounds the
+    # windowed-sum temporaries and is sized from the caller's f0_ceil
+    # (default 1200 Hz covers kCeilF0*1.1 — see cheaptrick.f0_cap_for).
+    f0 = jnp.minimum(f0, f0_cap)
 
     c1 = _centroid(x, fs_t, fft_size_d4c, f0, position - 0.25 / f0,
                    dithers[0])
@@ -145,9 +146,9 @@ def _d4c_body_frame(x, fs_t, fft_size_d4c, n_bands, window, window_length,
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "fft_size", "threshold",
-                                              "rng_mode"))
+                                              "rng_mode", "f0_cap"))
 def _d4c_impl(x, temporal_positions, f0, fs_t, *, fs, fft_size, threshold,
-              rng_mode):
+              rng_mode, f0_cap=1200.0):
     dtype = x.dtype
     n_frames = f0.shape[0]
     half_out = fft_size // 2
@@ -206,9 +207,10 @@ def _d4c_impl(x, temporal_positions, f0, fs_t, *, fs, fft_size, threshold,
         body_dither = jnp.zeros((n_frames, 3, max_body), dtype)
 
     padb = jnp.zeros((n_frames, 3, fft_d4c - max_body), dtype)
-    b_max = int(1200.0 * fft_d4c / fs) + 2
+    b_max = int(f0_cap * fft_d4c / fs) + 2
     coarse = jax.vmap(lambda f, p, d: _d4c_body_frame(
-        x, fs_t, fft_d4c, n_bands, window, window_length, b_max, f, p, d))(
+        x, fs_t, fft_d4c, n_bands, window, window_length,
+        jnp.asarray(f0_cap, dtype), b_max, f, p, d))(
             f0_body, temporal_positions,
             jnp.concatenate([body_dither, padb], 2))
 
@@ -229,12 +231,15 @@ def _d4c_impl(x, temporal_positions, f0, fs_t, *, fs, fft_size, threshold,
 
 
 def d4c(x, fs, temporal_positions, f0, fft_size=None, option=None,
-        rng_mode="exact"):
+        rng_mode="exact", f0_ceil=None):
     """D4C aperiodicity estimation (reference src/d4c.cpp:342-403).
 
     fft_size is the *output* spectral resolution (CheapTrick's fft_size).
+    ``f0_ceil``: estimator ceiling if above the default (see cheap_trick).
     Returns aperiodicity of shape (f0_length, fft_size//2 + 1).
     """
+    from .cheaptrick import f0_cap_for
+
     option = option or config.D4COption()
     if fft_size is None:
         fft_size = config.get_fft_size_for_cheaptrick(fs)
@@ -243,5 +248,5 @@ def d4c(x, fs, temporal_positions, f0, fft_size=None, option=None,
                       jnp.asarray(f0, x.dtype),
                       jnp.asarray(float(fs), x.dtype), fs=fs,
                       fft_size=fft_size, threshold=option.threshold,
-                      rng_mode=rng_mode)
+                      rng_mode=rng_mode, f0_cap=f0_cap_for(f0_ceil))
     return ap

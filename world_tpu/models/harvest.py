@@ -65,17 +65,28 @@ def _waveform_and_spectrum(x, y_length, fft_size, decimation_ratio):
 
 def _channel_candidates(boundary_f0, y_spectrum, y_length, actual_fs,
                         fft_size, temporal_positions, f0_floor, f0_ceil,
-                        dtype):
+                        dtype, frame_grid=None):
     """Raw F0 candidate contour for one channel
     (src/harvest.cpp:99-293)."""
     flh = matlab_round(actual_fs / boundary_f0 * 2.0)
     filtered = filtered_signal_harvest(boundary_f0, fft_size, actual_fs,
                                        y_spectrum, y_length, dtype, flh)
-    locs, ints, n_pairs = zerocross.four_zero_crossing_streams(
-        filtered, y_length, actual_fs)
-    interp = jax.vmap(lambda lo, iv, n: interp1(lo, iv, temporal_positions,
-                                                n_valid=n))(locs, ints,
-                                                            n_pairs)
+    if frame_grid is None:
+        # Golden path (float64): compaction sort + merge-rank interp1,
+        # bit-matching the reference.
+        locs, ints, n_pairs = zerocross.four_zero_crossing_streams(
+            filtered, y_length, actual_fs)
+        interp = jax.vmap(
+            lambda lo, iv, n: interp1(lo, iv, temporal_positions,
+                                      n_valid=n))(locs, ints, n_pairs)
+    else:
+        # TPU path: per-sample crossing states + static-index frame
+        # gather — no sorts, no data-dependent gathers.  Same local
+        # arithmetic as interp1 on the bracketing triple.
+        frame_samples, frame_tf = frame_grid
+        interp, n_pairs = zerocross.four_stream_frame_candidates(
+            filtered, y_length, actual_fs, frame_samples, frame_tf,
+            temporal_positions)
     candidate = jnp.mean(interp, axis=0)
     bad = ((candidate > boundary_f0 * 1.1) | (candidate < boundary_f0 * 0.9)
            | (candidate > f0_ceil) | (candidate < f0_floor))
@@ -636,11 +647,20 @@ def _harvest_device_stage(x, fs_t, *, fs, f0_floor, f0_ceil,
     f0_length = config.get_samples_for_harvest(fs, x_length, 1.0)
     positions = jnp.arange(f0_length, dtype=dtype) / 1000.0
 
+    if dtype == jnp.float64:
+        frame_grid = None
+    else:
+        # Static frame-grid sample positions: t_f * fs in (s, s+1].
+        tf_np = np.arange(f0_length) / 1000.0 * actual_fs
+        frame_samples = np.clip(np.ceil(tf_np).astype(np.int32) - 1, 0,
+                                y_length - 1)
+        frame_grid = (jnp.asarray(frame_samples),
+                      jnp.asarray(tf_np, dtype))
     raw = jax.lax.map(
         lambda b: _channel_candidates(b, y_spectrum, y_length,
                                       jnp.asarray(actual_fs, dtype),
                                       fft_size, positions, f0_floor, f0_ceil,
-                                      dtype),
+                                      dtype, frame_grid),
         jnp.asarray(boundaries, dtype), batch_size=32)
 
     max_candidates = int(round(n_channels / 10.0)) * 7
@@ -676,8 +696,11 @@ def _harvest_impl(x, *, fs, frame_period, f0_floor, f0_ceil):
     if frame_period == 1.0:
         f0 = basic_f0[:f0_length]
     else:
+        # matlab_round (half away from zero), not jnp.round (half to
+        # even): fractional periods like 2.5 ms hit exact x.5 positions
+        # (src/harvest.cpp:1250).
         idx = jnp.minimum(basic_f0.shape[0] - 1,
-                          jnp.round(temporal_positions * 1000.0)
+                          matlab_round(temporal_positions * 1000.0)
                           .astype(jnp.int32))
         f0 = basic_f0[idx]
     return temporal_positions, f0

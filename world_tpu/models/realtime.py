@@ -42,7 +42,6 @@ def _dc_remover_half(n, dtype=np.float64):
     return np.concatenate([w, w[::-1]]).astype(dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("fft_size",))
 def _response_kernel(env, ap_ratio, current_vuv, noise_draws, noise_size,
                      dc_remover, *, fft_size):
     """GetOneFrameSegment, realtime flavor
@@ -78,6 +77,16 @@ def _response_kernel(env, ap_ratio, current_vuv, noise_draws, noise_size,
 
     return (periodic * jnp.sqrt(noise_size.astype(dtype)) + aperiodic) \
         / fft_size
+
+
+@functools.partial(jax.jit, static_argnames=("fft_size",))
+def _response_batch(envs, ap_ratios, vuvs, noise_draws, noise_sizes,
+                    dc_remover, *, fft_size):
+    """All pulses of one render window in a single vmapped device call
+    (the per-pulse dispatch was the streaming path's bottleneck)."""
+    return jax.vmap(lambda e, a, v, nd, ns: _response_kernel(
+        e, a, v, nd, ns, dc_remover, fft_size=fft_size))(
+            envs, ap_ratios, vuvs, noise_draws, noise_sizes)
 
 
 class _Chunk:
@@ -269,8 +278,11 @@ class StreamingSynthesizer:
             nxt = arr[index + 1]
         return front, nxt
 
-    def _render_pulse(self, noise_size, current_location):
-        """GetOneFrameSegment (src/synthesisrealtime.cpp:246-281)."""
+    def _pulse_params(self, noise_size, current_location):
+        """Host-side parameter interpolation for one pulse: the frame
+        lerp of envelope/aperiodicity and the vuv lookup
+        (src/synthesisrealtime.cpp:246-281, 230-241).  Also advances the
+        exact-RNG draw counter / fast key in stream order."""
         t = current_location / self.fs
         self._seek(t)
         fp = self.frame_period
@@ -291,30 +303,57 @@ class StreamingSynthesizer:
         c = self._chunk(self.current_pointer)
         start_sample = max(0, int(np.ceil(
             (c.f0_origin - 1) * self.frame_period * self.fs)))
-        vuv = c.interpolated_vuv[current_location - start_sample + 1]
+        vuv = float(c.interpolated_vuv[current_location - start_sample + 1])
 
         if self.rng_mode == "exact":
-            draws = np.zeros(self.fft_size, self.dtype)
-            if noise_size > 0:
-                block = rng_ops.randn_blocks_at(
-                    jnp.asarray([self._draw_counter]),
-                    min(noise_size, self.fft_size))[0]
-                draws[:min(noise_size, self.fft_size)] = np.asarray(block)
+            rng_ref = self._draw_counter
             self._draw_counter += max(noise_size, 0)
         elif self.rng_mode == "fast":
             self._fast_step += 1
-            draws = np.asarray(jax.random.normal(
-                jax.random.fold_in(self._fast_key, self._fast_step),
-                (self.fft_size,), self.dtype))
+            rng_ref = self._fast_step
         else:
-            draws = np.zeros(self.fft_size, self.dtype)
+            rng_ref = 0
+        return env, ap, vuv, rng_ref
 
-        resp = _response_kernel(
-            jnp.asarray(env, self.dtype), jnp.asarray(ap, self.dtype),
-            jnp.asarray(float(vuv), self.dtype), jnp.asarray(draws),
-            jnp.asarray(noise_size), self.dc_remover,
-            fft_size=self.fft_size)
-        return np.asarray(resp)
+    def _render_pulses(self, pulses):
+        """Render a window's pulses with ONE vmapped device call
+        (bucketed padding so only log-many shapes ever compile).
+
+        pulses: list of (env, ap, vuv, rng_ref, noise_size).  Padded
+        lanes carry vuv=0 / noise_size=0 and contribute exact zeros.
+        Returns (P, fft_size) responses."""
+        fft = self.fft_size
+        p = len(pulses)
+        cap = 1
+        while cap < p:
+            cap *= 2
+        envs = np.ones((cap, fft // 2 + 1), self.dtype)
+        aps = np.ones((cap, fft // 2 + 1), self.dtype)
+        vuvs = np.zeros(cap, self.dtype)
+        sizes = np.zeros(cap, np.int32)
+        for k, (env, ap, vuv, _, ns) in enumerate(pulses):
+            envs[k], aps[k], vuvs[k], sizes[k] = env, ap, vuv, ns
+
+        if self.rng_mode == "exact":
+            offsets = np.zeros(cap, np.int64)
+            for k, (_, _, _, ref, ns) in enumerate(pulses):
+                offsets[k] = ref
+            draws = rng_ops.randn_blocks_at(jnp.asarray(offsets), fft)
+            draws = jnp.asarray(draws, self.dtype)
+        elif self.rng_mode == "fast":
+            keys = jnp.stack(
+                [jax.random.fold_in(self._fast_key,
+                                    pulses[k][3] if k < p else 0)
+                 for k in range(cap)])
+            draws = jax.vmap(lambda kk: jax.random.normal(
+                kk, (fft,), self.dtype))(keys)
+        else:
+            draws = jnp.zeros((cap, fft), self.dtype)
+
+        resp = _response_batch(
+            jnp.asarray(envs), jnp.asarray(aps), jnp.asarray(vuvs),
+            draws, jnp.asarray(sizes), self.dc_remover, fft_size=fft)
+        return np.asarray(resp)[:p]
 
     def _next_pulse_index(self):
         """GetNextPulseLocationIndex (src/synthesisrealtime.cpp:380-393)."""
@@ -365,16 +404,23 @@ class StreamingSynthesizer:
 
         c = self._chunk(self.current_pointer)
         current_location = int(c.pulse_locations_index[self.i])
+        pulses, locations = [], []
         while current_location < self.synthesized_sample + bs:
             tmp = self._next_pulse_index()
             noise_size = tmp - current_location
-            resp = self._render_pulse(noise_size, current_location)
-            offset = current_location - self.synthesized_sample - fft // 2 + 1
-            lo = max(0, -offset)
-            self.buffer[lo + offset: fft + offset] += resp[lo:]
+            env, ap, vuv, ref = self._pulse_params(noise_size,
+                                                   current_location)
+            pulses.append((env, ap, vuv, ref, noise_size))
+            locations.append(current_location)
             current_location = tmp
             if not self._update():
                 break
+        if pulses:
+            resps = self._render_pulses(pulses)
+            for loc, resp in zip(locations, resps):
+                offset = loc - self.synthesized_sample - fft // 2 + 1
+                lo = max(0, -offset)
+                self.buffer[lo + offset: fft + offset] += resp[lo:]
         self.synthesized_sample += bs
         # The reference calls SeekSynthesizer(synthesized_sample) here with
         # samples where seconds are expected, so it never matches a frame

@@ -175,6 +175,20 @@ def decimate(x, r):
     return t[idx]
 
 
+@functools.partial(jax.jit, static_argnames=("fft_size",))
+def fast_fftfilt(x, h, fft_size):
+    """FFT-domain filtering (src/matlabfunctions.cpp:266-301).
+
+    Matches the reference normalization exactly: both inputs are divided
+    by fft_size before the forward transforms and the backward c2r is
+    unnormalized (irfft * n), so the result is the circular convolution
+    of x and h divided by fft_size.  Returns (fft_size,).
+    """
+    spec = (jnp.fft.rfft(x, n=fft_size) / fft_size
+            * (jnp.fft.rfft(h, n=fft_size) / fft_size))
+    return jnp.fft.irfft(spec, n=fft_size) * fft_size
+
+
 def matlab_std(x):
     """Sample standard deviation (src/matlabfunctions.cpp:303-313)."""
     m = jnp.mean(x)

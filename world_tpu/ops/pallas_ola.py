@@ -66,7 +66,15 @@ def ola_accumulate(responses, offsets, *, y_padded):
     and zero-fill invalid pulses before calling).
     """
     batch, max_pulses, fft_size = responses.shape
-    assert fft_size % BLK == 0, fft_size
+    if fft_size % BLK:
+        # Small fft sizes (512 at fs 8000/11025): zero-pad each response
+        # row to the 1024-sample store block; offsets are unchanged and
+        # the padded tail adds zeros.
+        f_pad = (-fft_size) % BLK
+        responses = jnp.concatenate(
+            [responses,
+             jnp.zeros((batch, max_pulses, f_pad), responses.dtype)], axis=2)
+        fft_size += f_pad
     p_pad = (-max_pulses) % 8
     if p_pad:
         responses = jnp.concatenate(

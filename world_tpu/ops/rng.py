@@ -25,14 +25,6 @@ import numpy as np
 SEED = (123456789, 362436069, 521288629, 88675123)
 
 
-def _step_np(state):
-    """One xorshift128 state update on a uint32[4] numpy vector."""
-    x, y, z, w = state
-    t = (x ^ ((x << 11) & 0xFFFFFFFF)) & 0xFFFFFFFF
-    w_new = (w ^ (w >> 19)) ^ (t ^ (t >> 8))
-    return np.array([y, z, w_new & 0xFFFFFFFF, 0], np.uint64)[:3].tolist() + []
-
-
 def _state_step_bits(bits):
     """One state update acting on a 128-bit boolean vector (numpy)."""
     x = bits[0:32]

@@ -10,11 +10,17 @@ parallelism), and the per-chunk frame grids are aligned to the global
 grid so stitching is pure slicing.
 
 Chunking is an approximation at the halo level: filter tails beyond the
-halo and the global DC mean differ from whole-signal processing.  With
-the default 0.2 s halo (the longest analysis support is D4C's LoveTrain
-window, 3/40 s ~ 75 ms) the F0/envelope differences are confined to
-numerical noise except within a frame or two of a chunk edge; see
-tests/test_longform.py.
+halo and the global DC mean differ from whole-signal processing.  The
+halo must cover the longest analysis influence radius: for Harvest that
+is FixStep3's bidirectional extension (up to 100 internal 1 ms frames,
+src/harvest.cpp:823-833) plus the per-section zero-phase smoothing whose
+IIR poles (|p| ~ 0.875, src/harvest.cpp:1081-1084) decay to ~1e-6 within
+another ~100 frames, plus FixStep4's 9-frame gap fill and the window
+supports (D4C LoveTrain 3/40 s ~ 75 ms).  The default 0.45 s halo covers
+all of these with margin; the residual differences are confined to
+numerical noise except within a frame or two of a chunk edge (a voiced
+section longer than the chunk still smooths over a slightly different
+section extent — sub-cent in practice); see tests/test_longform.py.
 
 Synthesis of long parameter tracks goes through StreamingSynthesizer
 (reference src/synthesisrealtime.cpp), which carries the pulse phase
@@ -36,7 +42,7 @@ from ..models.stonemask import _stone_mask_impl
 
 
 def analyze_long(x, fs, *, frame_period=5.0, chunk_seconds=8.0,
-                 halo_seconds=0.2, f0_method="harvest", rng_mode="fast",
+                 halo_seconds=0.45, f0_method="harvest", rng_mode="fast",
                  mesh=None):
     """Analyze arbitrarily long audio in fixed-size halo-padded chunks.
 
@@ -129,6 +135,7 @@ def synthesize_long(f0, sp, ap, fs, *, frame_period=5.0, buffer_size=4096,
     n_frames = len(f0)
     pushed = 0
     while True:
+        pushed0 = pushed
         while (pushed < n_frames
                and synth.add_parameters(
                    f0[pushed: pushed + frames_per_push],
@@ -141,6 +148,9 @@ def synthesize_long(f0, sp, ap, fs, *, frame_period=5.0, buffer_size=4096,
             progressed = True
         if pushed >= n_frames and not progressed:
             break
-        if not progressed and synth.is_locked():
+        if not progressed and pushed == pushed0:
+            # No frames accepted and no samples rendered: the stream is
+            # wedged (is_locked() covers the queue-full case; this also
+            # catches any other stall) — stop rather than spin forever.
             break
     return np.concatenate(out) if out else np.zeros(0)

@@ -332,8 +332,15 @@ def cmd_verify(argv):
             np.sum(ry[:n]**2) / np.sum((ry[:n] - y[:n])**2))),
     }
     print(json.dumps(out, indent=2))
-    ok = (out["f0_rmse_cents"] < 1.0 and out["resynthesis_snr_db"] > 40.0
-          and out["vuv_agreement"] > 0.99)
+    # Ratchet gates just below the achieved exact-mode values (3e-12-cent
+    # F0 RMSE, 167 dB end-to-end resynthesis SNR — the envelope's ~1e-4
+    # rel err dominates; synthesis from golden parameters reaches 222 dB)
+    # so a real regression cannot print PASS.
+    ok = (out["f0_rmse_cents"] < 1e-6
+          and out["resynthesis_snr_db"] > 150.0
+          and out["envelope_max_rel_err"] < 1e-3
+          and out["aperiodicity_max_abs_err"] < 1e-6
+          and out["vuv_agreement"] == 1.0)
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 
