@@ -65,32 +65,53 @@ def _waveform_and_spectrum(x, y_length, fft_size, decimation_ratio):
 
 def _channel_candidates(boundary_f0, y_spectrum, y_length, actual_fs,
                         fft_size, temporal_positions, f0_floor, f0_ceil,
-                        dtype, frame_grid=None):
-    """Raw F0 candidate contour for one channel
+                        dtype):
+    """Raw F0 candidate contour for one channel, float64 golden path:
+    compaction sort + merge-rank interp1, bit-matching the reference
     (src/harvest.cpp:99-293)."""
     flh = matlab_round(actual_fs / boundary_f0 * 2.0)
     filtered = filtered_signal_harvest(boundary_f0, fft_size, actual_fs,
                                        y_spectrum, y_length, dtype, flh)
-    if frame_grid is None:
-        # Golden path (float64): compaction sort + merge-rank interp1,
-        # bit-matching the reference.
-        locs, ints, n_pairs = zerocross.four_zero_crossing_streams(
-            filtered, y_length, actual_fs)
-        interp = jax.vmap(
-            lambda lo, iv, n: interp1(lo, iv, temporal_positions,
-                                      n_valid=n))(locs, ints, n_pairs)
-    else:
-        # TPU path: per-sample crossing states + static-index frame
-        # gather — no sorts, no data-dependent gathers.  Same local
-        # arithmetic as interp1 on the bracketing triple.
-        frame_samples, frame_tf = frame_grid
-        interp, n_pairs = zerocross.four_stream_frame_candidates(
-            filtered, y_length, actual_fs, frame_samples, frame_tf,
-            temporal_positions)
+    locs, ints, n_pairs = zerocross.four_zero_crossing_streams(
+        filtered, y_length, actual_fs)
+    interp = jax.vmap(
+        lambda lo, iv, n: interp1(lo, iv, temporal_positions,
+                                  n_valid=n))(locs, ints, n_pairs)
     candidate = jnp.mean(interp, axis=0)
     bad = ((candidate > boundary_f0 * 1.1) | (candidate < boundary_f0 * 0.9)
            | (candidate > f0_ceil) | (candidate < f0_floor))
     valid = jnp.all(n_pairs >= 3)
+    return jnp.where(valid & ~bad, candidate, 0.0)
+
+
+def _all_channel_candidates_fast(boundaries, y_spectrum, y_length,
+                                 actual_fs, fft_size, temporal_positions,
+                                 f0_floor, f0_ceil, dtype, block_index,
+                                 block_mask, frame_tf):
+    """Raw candidates for ALL channels, TPU path: frame-block crossing
+    summaries per channel (no sorts, no data-dependent gathers — same
+    local arithmetic as interp1 on the bracketing triple), with the two
+    cross-block carry scans hoisted OUT of the channel map so they run
+    once.  Returns (channels, frames)."""
+    fs_t = jnp.asarray(actual_fs, dtype)
+
+    def chan(b):
+        flh = matlab_round(fs_t / b * 2.0)
+        filtered = filtered_signal_harvest(b, fft_size, fs_t, y_spectrum,
+                                           y_length, dtype, flh)
+        return zerocross.four_stream_block_summaries(
+            filtered, y_length, block_index, block_mask)
+
+    sums, n_pairs = jax.lax.map(chan, boundaries, batch_size=32)
+    big = jnp.asarray(3e38 if dtype == jnp.float32 else 1e300, dtype)
+    interp = zerocross.frame_candidates_eval(
+        jnp.moveaxis(sums, 1, 0), actual_fs,
+        frame_tf[None, None, :], temporal_positions[None, None, :], big)
+    candidate = jnp.mean(interp, axis=1)            # (C, F)
+    b = boundaries[:, None]
+    bad = ((candidate > b * 1.1) | (candidate < b * 0.9)
+           | (candidate > f0_ceil) | (candidate < f0_floor))
+    valid = jnp.all(n_pairs >= 3, axis=1)[:, None]
     return jnp.where(valid & ~bad, candidate, 0.0)
 
 
@@ -103,50 +124,80 @@ def _detect_official_candidates(raw, max_candidates):
     candidate lists (src/harvest.cpp:348-412).
 
     raw: (channels, frames).  Returns ((frames, max_candidates) array,
-    global candidate count C)."""
+    global candidate count C).
+
+    Formulation: run means are produced at each run-END channel by a
+    sequential scan over the (short) channel axis carrying the cumsum
+    value at the latest run start; one two-operand lax.sort compacts
+    the kept means into slots.  Bit-identical to the per-frame
+    sort+gather version (same cumsum differences, same order) at a
+    fraction of the sort volume."""
     n_ch, n_frames = raw.shape
     vuv = raw > 0.0
     ch = jnp.arange(n_ch)
     vuv = vuv & (ch[:, None] != 0) & (ch[:, None] != n_ch - 1)
 
-    def per_frame(v, column):
-        prev = jnp.concatenate([jnp.zeros(1, bool), v[:-1]])
-        starts = v & ~prev
-        ends = ~v & prev
-        st = jnp.sort(jnp.where(starts, ch, BIG))[:max_candidates]
-        ed = jnp.sort(jnp.where(ends, ch, BIG))[:max_candidates]
-        n_runs = jnp.sum(starts)
-        k = jnp.arange(max_candidates)
-        stc = jnp.clip(st, 1, n_ch - 1)
-        edc = jnp.clip(ed, 1, n_ch - 1)
-        csum = jnp.cumsum(column)
-        mean = (csum[edc - 1] - csum[stc - 1]) / (edc - stc).astype(raw.dtype)
-        ok = (k < n_runs) & ((edc - stc) >= 10)
-        # compact kept runs, preserving order
-        slot_key = jnp.sort(jnp.where(ok, k, BIG))
-        mean_kept = jnp.where(slot_key < BIG, mean[jnp.clip(slot_key, 0,
-                                                  max_candidates - 1)], 0.0)
-        return mean_kept, jnp.sum(ok)
+    prev = jnp.concatenate([jnp.zeros((1, n_frames), bool), vuv[:-1]])
+    starts = vuv & ~prev                     # (C, F)
+    ends = ~vuv & prev
+    csum = jnp.cumsum(raw, axis=0)
+    csum_prev = jnp.concatenate(
+        [jnp.zeros((1, n_frames), raw.dtype), csum[:-1]])
 
-    cands, counts = jax.vmap(per_frame, in_axes=(1, 1))(vuv, raw)
+    def step(carry, xs):
+        st_csum, st_ch = carry
+        is_start, cp, c = xs
+        st_csum = jnp.where(is_start, cp, st_csum)
+        st_ch = jnp.where(is_start, c, st_ch)
+        return (st_csum, st_ch), (st_csum, st_ch)
+
+    init = (jnp.zeros(n_frames, raw.dtype), jnp.zeros(n_frames, ch.dtype))
+    _, (st_csum, st_ch) = jax.lax.scan(
+        step, init, (starts, csum_prev,
+                     jnp.broadcast_to(ch[:, None], (n_ch, n_frames))))
+    length = ch[:, None] - st_ch             # run length at end position
+    mean = (csum_prev - st_csum) / jnp.maximum(length, 1).astype(raw.dtype)
+    keep = ends & (length >= 10)
+    # Compact kept means into slots, order preserved: one stable sort
+    # of (channel-key, mean) pairs per frame.
+    key = jnp.where(keep, ch[:, None], BIG)
+    skey, smean = jax.lax.sort((jnp.broadcast_to(key, keep.shape).T,
+                                jnp.where(keep, mean, 0.0).T), num_keys=1,
+                               is_stable=True)
+    cands = jnp.where(skey[:, :max_candidates] < BIG,
+                      smean[:, :max_candidates], 0.0)
+    counts = jnp.sum(keep, axis=0)
     return cands, jnp.max(counts)
 
 
 def _overlap_candidates(cands, n_cands, max_candidates):
     """Smear candidates +/-3 frames into slots j + C*i
-    (src/harvest.cpp:417-429).  C = n_cands is traced."""
-    n_frames = cands.shape[0]
-    s = jnp.arange(max_candidates)
+    (src/harvest.cpp:417-429).  C = n_cands is traced.
+
+    Slot s of the output reads column s % C of the cands row s // C
+    frames away — a 2D gather with traced indices.  Expressed instead
+    as seven static frame shifts times 0/1 slot-permutation matmuls
+    (one nonzero per output slot, so bit-identical)."""
+    dtype = cands.dtype
     c = jnp.maximum(n_cands, 1)
-    q = s // c           # 0 -> original, 1..3 -> k-q, 4..6 -> k+(q-3)
-    j = s % c
-    shift = jnp.where(q <= 3, q, -(q - 3))
-    k = jnp.arange(n_frames)[:, None]
-    src_frame = k - shift[None, :]
-    in_range = (src_frame >= 0) & (src_frame < n_frames) & (q < 7)[None, :]
-    src_frame = jnp.clip(src_frame, 0, n_frames - 1)
-    vals = cands[src_frame, jnp.broadcast_to(j, src_frame.shape)]
-    return jnp.where(in_range & (s < 7 * c) & (n_cands > 0), vals, 0.0)
+    s = jnp.arange(max_candidates)[None, :]
+    j = jnp.arange(max_candidates)[:, None]
+    out = jnp.zeros_like(cands)
+    for q in range(7):
+        shift = q if q <= 3 else -(q - 3)
+        if shift > 0:
+            shifted = jnp.concatenate(
+                [jnp.zeros((shift, max_candidates), dtype),
+                 cands[:-shift]], 0)
+        elif shift < 0:
+            shifted = jnp.concatenate(
+                [cands[-shift:],
+                 jnp.zeros((-shift, max_candidates), dtype)], 0)
+        else:
+            shifted = cands
+        perm = ((s == q * c + j) & (j < c)).astype(dtype)
+        out = out + shifted @ perm
+    return jnp.where(n_cands > 0, out, 0.0)
 
 
 def _refine_pair(y, fs_t, fft_size, max_len, position, f0, f0_floor,
@@ -648,20 +699,23 @@ def _harvest_device_stage(x, fs_t, *, fs, f0_floor, f0_ceil,
     positions = jnp.arange(f0_length, dtype=dtype) / 1000.0
 
     if dtype == jnp.float64:
-        frame_grid = None
+        raw = jax.lax.map(
+            lambda b: _channel_candidates(b, y_spectrum, y_length,
+                                          jnp.asarray(actual_fs, dtype),
+                                          fft_size, positions, f0_floor,
+                                          f0_ceil, dtype),
+            jnp.asarray(boundaries, dtype), batch_size=32)
     else:
         # Static frame-grid sample positions: t_f * fs in (s, s+1].
         tf_np = np.arange(f0_length) / 1000.0 * actual_fs
-        frame_samples = np.clip(np.ceil(tf_np).astype(np.int32) - 1, 0,
+        frame_samples = np.clip(np.ceil(tf_np).astype(np.int64) - 1, 0,
                                 y_length - 1)
-        frame_grid = (jnp.asarray(frame_samples),
-                      jnp.asarray(tf_np, dtype))
-    raw = jax.lax.map(
-        lambda b: _channel_candidates(b, y_spectrum, y_length,
-                                      jnp.asarray(actual_fs, dtype),
-                                      fft_size, positions, f0_floor, f0_ceil,
-                                      dtype, frame_grid),
-        jnp.asarray(boundaries, dtype), batch_size=32)
+        block_index, block_mask = zerocross.frame_block_layout(
+            frame_samples, y_length)
+        raw = _all_channel_candidates_fast(
+            jnp.asarray(boundaries, dtype), y_spectrum, y_length,
+            actual_fs, fft_size, positions, f0_floor, f0_ceil, dtype,
+            block_index, block_mask, jnp.asarray(tf_np, dtype))
 
     max_candidates = int(round(n_channels / 10.0)) * 7
     cands0, n_cands = _detect_official_candidates(raw, max_candidates)

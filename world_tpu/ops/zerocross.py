@@ -12,6 +12,7 @@ arrays with validity counts, so it vmaps over bands and batches.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BIG = jnp.iinfo(jnp.int32).max // 2
 
@@ -52,78 +53,13 @@ def _crossing_pairs(signal, n_valid, fs):
     return locations, intervals, n_pairs
 
 
-def _last_valid_scan(values, flags, reverse=False):
-    """Propagate the last (or next) flagged value along the array."""
-    def combine(a, b):
-        av, af = a
-        bv, bf = b
-        return jnp.where(bf, bv, av), af | bf
-
-    v, _ = jax.lax.associative_scan(combine, (values, flags),
-                                    reverse=reverse)
-    return v
-
-
-def _crossing_states(signal, n_valid, fill):
-    """Per-sample crossing neighborhoods, no sorts and no compaction.
-
-    For each sample position i: the last four crossing sub-sample
-    positions at-or-before i (q1 most recent; ``fill`` = -inf padding)
-    and the next three strictly after (r1 first).  Each is one chained
-    'last/next flagged value' associative scan — the crossing list never
-    needs compacting because its order IS sample order.
-    """
-    L = signal.shape[0]
-    dtype = signal.dtype
-    idx = jnp.arange(L)
-    s_next = jnp.roll(signal, -1)
-    is_edge = (signal > 0.0) & (s_next <= 0.0) & (idx < n_valid - 1)
-    fine = (idx + 1).astype(dtype) - signal / (s_next - signal)
-    neg = jnp.full(L, -fill, dtype)
-    pos = jnp.full(L, fill, dtype)
-
-    def shift_r(a):
-        return jnp.concatenate([neg[:1], a[:-1]])
-
-    def shift_l(a):
-        return jnp.concatenate([a[1:], pos[:1]])
-
-    q1 = _last_valid_scan(jnp.where(is_edge, fine, -fill), is_edge)
-    q2 = _last_valid_scan(jnp.where(is_edge, shift_r(q1), -fill), is_edge)
-    q3 = _last_valid_scan(jnp.where(is_edge, shift_r(q2), -fill), is_edge)
-    q4 = _last_valid_scan(jnp.where(is_edge, shift_r(q3), -fill), is_edge)
-
-    r1i = _last_valid_scan(jnp.where(is_edge, fine, fill), is_edge,
-                           reverse=True)
-    r1 = shift_l(r1i)                       # next crossing strictly after i
-    r2i = _last_valid_scan(jnp.where(is_edge, r1, fill), is_edge,
-                           reverse=True)
-    r2 = shift_l(r2i)
-    r3i = _last_valid_scan(jnp.where(is_edge, r2, fill), is_edge,
-                           reverse=True)
-    r3 = shift_l(r3i)
-    n_pairs = jnp.maximum(jnp.sum(is_edge) - 1, 0)
-    return (q4, q3, q2, q1, r1, r2, r3), n_pairs
-
-
-def _interp_from_states(states, tf, t, fs, big):
+def _select_eval(p3, p2, p1, n1, n2, n3, tf, t, fs, big):
     """Evaluate the crossing-interval contour at query time tf (in
-    sub-sample units) from the (q4..q1, r1..r3) neighborhood gathered at
-    tf's sample.  Reproduces interp1's clamped-rank evaluation
+    sub-sample units) from the last three crossings at-or-before tf
+    (p1 most recent) and the first three after (n1 first), padded with
+    +-big.  Reproduces interp1's clamped-rank evaluation
     (k = clip(#{loc <= t}, 1, n-1); segment (k-1, k)) as a select tree:
-    the bracketing triple of crossings is always among the last three
-    before / first three after tf."""
-    q4, q3, q2, q1, r1, r2, r3 = states
-    # At most one crossing lies inside tf's own sample interval, and it
-    # is q1; reclassify it against tf.
-    fut = q1 > tf
-    p3 = jnp.where(fut, q4, q3)
-    p2 = jnp.where(fut, q3, q2)
-    p1 = jnp.where(fut, q2, q1)
-    n1 = jnp.where(fut, q1, r1)
-    n2 = jnp.where(fut, r1, r2)
-    n3 = jnp.where(fut, r2, r3)
-
+    the bracketing triple of crossings is always among these six."""
     no_past1 = p1 <= -big        # no crossing before tf
     no_past2 = p2 <= -big        # fewer than two before
     no_next1 = n1 >= big         # none after
@@ -153,31 +89,139 @@ def _interp_from_states(states, tf, t, fs, big):
     return jnp.where(ok, y0 + s * (y1 - y0), 0.0)
 
 
-def four_stream_frame_candidates(filtered, n_valid, fs, frame_samples,
-                                 frame_tf, frame_t):
-    """Fast path (float32/TPU): the four crossing streams interpolated
-    straight onto the frame grid with NO sorts and NO data-dependent
-    gathers: per-sample crossing neighborhoods (associative scans), one
-    static-index gather at the frame sample positions (indices shared by
-    every lane), and an elementwise bracketing select tree.
+def frame_block_layout(frame_samples, y_length):
+    """Static block partition of the sample axis by frame: block j =
+    samples [s_j, s_{j+1}) (s_F = y_length).  Returns (index (F, B),
+    mask (F, B)) numpy arrays; B = max block width, and the crossing
+    capacity per block is bounded by ceil(B/2)+1 since +to- crossings
+    are at least two samples apart."""
+    s = np.asarray(frame_samples, np.int64)
+    widths = np.diff(np.append(s, y_length))
+    if widths.min() < 0:
+        raise ValueError("frame_samples must be ascending")
+    B = int(widths.max())
+    index = np.clip(s[:, None] + np.arange(B)[None, :], 0, y_length - 1)
+    mask = np.arange(B)[None, :] < widths[:, None]
+    return index.astype(np.int32), mask
 
-    frame_samples: (F,) static int sample index with t_f*fs in
-    (s, s+1]; frame_tf: (F,) query positions in sub-sample units
-    (t_f * fs); frame_t: (F,) query times in seconds.
-    Returns ((4, F) interps, (4,) pair counts).
-    """
+
+def four_stream_block_summaries(filtered, n_valid, block_index, block_mask):
+    """Per-frame-block crossing summaries for the four streams of one
+    channel: block-local last-3 / first-4 crossing positions, counts,
+    the offset-0 slot, and the stream pair counts.  No sorts, no
+    data-dependent gathers (block_index/block_mask are static, from
+    frame_block_layout).  Returns ((11, 4, F) stacked summaries,
+    (4,) pair counts)."""
+    dtype = filtered.dtype
+    L = filtered.shape[0]
+    big = jnp.asarray(3e38 if dtype == jnp.float32 else 1e300, dtype)
     d = jnp.roll(filtered, -1) - filtered
     streams = jnp.stack([filtered, -filtered, d, -d])
     valids = jnp.stack([n_valid, n_valid, n_valid - 1, n_valid - 1])
+
+    idx = jnp.arange(L)
+    s_next = jnp.roll(streams, -1, axis=-1)
+    is_edge = (streams > 0.0) & (s_next <= 0.0) \
+        & (idx[None, :] < valids[:, None] - 1)
+    fine = (idx + 1).astype(dtype) - streams / (s_next - streams)
+    n_pairs = jnp.maximum(jnp.sum(is_edge, axis=-1) - 1, 0)
+
+    F, B = block_index.shape
+    take = jnp.asarray(block_index.reshape(-1))
+    blk_f = fine[:, take].reshape(4, F, B)
+    blk_e = is_edge[:, take].reshape(4, F, B) & jnp.asarray(block_mask)
+
+    # Block-local crossing lists (unrolled over the <=B slots).
+    l1 = l2 = l3 = jnp.full((4, F), -big)
+    for o in range(B):                      # last-3, most recent first
+        v, e = blk_f[..., o], blk_e[..., o]
+        l1, l2, l3 = (jnp.where(e, v, l1), jnp.where(e, l1, l2),
+                      jnp.where(e, l2, l3))
+    f1 = f2 = f3 = f4 = jnp.full((4, F), big)
+    for o in range(B - 1, -1, -1):          # first-4, earliest first
+        v, e = blk_f[..., o], blk_e[..., o]
+        f1, f2, f3, f4 = (jnp.where(e, v, f1), jnp.where(e, f1, f2),
+                          jnp.where(e, f2, f3), jnp.where(e, f3, f4))
+    cnt = jnp.sum(blk_e, axis=-1).astype(dtype)
+    fine0 = blk_f[..., 0]
+    edge0 = blk_e[..., 0].astype(dtype)
+    return (jnp.stack([l1, l2, l3, f1, f2, f3, f4, cnt, fine0, edge0]),
+            n_pairs)
+
+
+def frame_candidates_eval(sums, fs, frame_tf, frame_t, big):
+    """Evaluate frame-grid interps from stacked block summaries.
+
+    sums: (10, ..., 4, F) — the stack from four_stream_block_summaries,
+    with arbitrary batch dims folded between.  Two sequential F-step
+    scans carry the last-3 / next-3 crossing neighborhoods across
+    blocks (cheap: the carry is a handful of lane vectors — the scans
+    run ONCE for all channels, not inside the channel map), then an
+    elementwise select tree reproduces interp1's clamped-rank
+    evaluation.  Returns (..., 4, F) interps.
+    """
+    l1, l2, l3, f1, f2, f3, f4, cntf, fine0, edge0 = tuple(sums)
+    cnt = cntf.astype(jnp.int32)
+    dtype = l1.dtype
+    lanes = l1.shape[:-1]
+
+    def fwd(carry, xs):
+        q1, q2, q3 = carry
+        a1, a2, a3, c = xs
+        r1 = jnp.where(c >= 1, a1, q1)
+        r2 = jnp.where(c >= 2, a2, jnp.where(c == 1, q1, q2))
+        r3 = jnp.where(c >= 3, a3,
+                       jnp.where(c == 2, q1, jnp.where(c == 1, q2, q3)))
+        return (r1, r2, r3), carry
+
+    def rev(carry, xs):
+        s1, s2, s3 = carry
+        a1, a2, a3, c = xs
+        r1 = jnp.where(c >= 1, a1, s1)
+        r2 = jnp.where(c >= 2, a2, jnp.where(c == 1, s1, s2))
+        r3 = jnp.where(c >= 3, a3,
+                       jnp.where(c == 2, s1, jnp.where(c == 1, s2, s3)))
+        return (r1, r2, r3), carry
+
+    mv = lambda a: jnp.moveaxis(a, -1, 0)   # (..., F) -> (F, ...)
+    neg3 = tuple(jnp.full(lanes, -big, dtype) for _ in range(3))
+    pos3 = tuple(jnp.full(lanes, big, dtype) for _ in range(3))
+    _, P = jax.lax.scan(fwd, neg3, (mv(l1), mv(l2), mv(l3), mv(cnt)))
+    _, S = jax.lax.scan(rev, pos3, (mv(f1), mv(f2), mv(f3), mv(cnt)),
+                        reverse=True)
+    P1, P2, P3 = (jnp.moveaxis(p, 0, -1) for p in P)
+    S1, S2, S3 = (jnp.moveaxis(s, 0, -1) for s in S)
+
+    # Assemble the neighborhoods of tf_j: only the block's offset-0
+    # crossing can be <= tf (tf in (s_j, s_j+1], crossings >= 2 apart).
+    tf = frame_tf
+    past0 = (edge0 != 0.0) & (fine0 <= tf)
+    p1 = jnp.where(past0, fine0, P1)
+    p2 = jnp.where(past0, P1, P2)
+    p3 = jnp.where(past0, P2, P3)
+    R1 = jnp.where(past0, f2, f1)           # block crossings after tf
+    R2 = jnp.where(past0, f3, f2)
+    R3 = jnp.where(past0, f4, f3)
+    rc = jnp.minimum(cnt - past0.astype(cnt.dtype), 3)
+    n1 = jnp.where(rc >= 1, R1, S1)
+    n2 = jnp.where(rc >= 2, R2, jnp.where(rc == 1, S1, S2))
+    n3 = jnp.where(rc >= 3, R3,
+                   jnp.where(rc == 2, S1, jnp.where(rc == 1, S2, S3)))
+
+    return _select_eval(p3, p2, p1, n1, n2, n3, tf, frame_t,
+                        jnp.asarray(fs, dtype), big)
+
+
+def four_stream_frame_candidates(filtered, n_valid, fs, block_index,
+                                 block_mask, frame_tf, frame_t):
+    """Single-channel convenience wrapper: summaries + eval in one call
+    (production harvest hoists the eval outside its channel map)."""
+    sums, n_pairs = four_stream_block_summaries(filtered, n_valid,
+                                                block_index, block_mask)
     big = jnp.asarray(3e38 if filtered.dtype == jnp.float32 else 1e300,
                       filtered.dtype)
-    states, n_pairs = jax.vmap(_crossing_states, in_axes=(0, 0, None))(
-        streams, valids, big)
-    # Static shared indices: the minor-dim gather lowers to slices.
-    at_frames = tuple(s[:, frame_samples] for s in states)
-    interp = _interp_from_states(at_frames, frame_tf[None, :],
-                                 frame_t[None, :],
-                                 jnp.asarray(fs, filtered.dtype), big)
+    interp = frame_candidates_eval(sums, fs, frame_tf[None, :],
+                                   frame_t[None, :], big)
     return interp, n_pairs
 
 
