@@ -345,6 +345,100 @@ def cmd_verify(argv):
     return 0 if ok else 1
 
 
+def cmd_scaling(argv):
+    """Scaling-efficiency benchmark: run the sharded batched
+    analysis+synthesis step over growing device meshes and report
+    throughput and efficiency (BASELINE metric '1 chip / 1 host /
+    N hosts': >= 80% at N >= 2).  With no real multi-device platform a
+    virtual CPU mesh exercises the identical sharded program, so the
+    same command produces the metric row on real hardware."""
+    p = argparse.ArgumentParser(prog="scaling")
+    p.add_argument("--devices", default="1,2,4,8",
+                   help="comma-separated mesh sizes (weak scaling)")
+    p.add_argument("--batch-per-device", type=int, default=2)
+    p.add_argument("--seconds", type=float, default=1.0,
+                   help="audio length per utterance")
+    p.add_argument("--fs", type=int, default=22050)
+    p.add_argument("--f0-method", default="dio",
+                   choices=["dio", "harvest"])
+    p.add_argument("--iters", type=int, default=3)
+    sizes = p.parse_args(argv)
+    n_list = [int(v) for v in sizes.devices.split(",")]
+
+    # A virtual CPU mesh needs the flag set before the backend exists.
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={max(n_list)}"
+        ).strip()
+    # Default to the virtual CPU mesh; on real multi-chip hardware set
+    # WORLD_TPU_PLATFORM=tpu (initializing the accelerator and then
+    # switching platforms leaves a stale default backend — see
+    # CLAUDE.md).
+    import jax
+    jax.config.update("jax_platforms",
+                      os.environ.get("WORLD_TPU_PLATFORM", "cpu"))
+    import json
+    import time
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.pipeline import make_batch_step, make_mesh
+
+    n = int(sizes.seconds * sizes.fs)
+    rng = np.random.default_rng(0)
+    t = np.arange(n) / sizes.fs
+    base = np.sin(np.cumsum(2 * np.pi * (140 + 20 * np.sin(
+        2 * np.pi * 3 * t)) / sizes.fs)).astype(np.float32)
+    base *= (0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / n)
+             ).astype(np.float32)
+
+    rows = []
+    for nd in n_list:
+        mesh = make_mesh(n_data=nd, n_frame=1,
+                         devices=jax.devices()[:nd])
+        batch = nd * sizes.batch_per_device
+        xb = base[None, :] * (0.5 + rng.random((batch, 1),
+                                               dtype=np.float32))
+        step = make_batch_step(sizes.fs, n, rng_mode="fast", mesh=mesh,
+                               f0_method=sizes.f0_method)
+        xs = jax.device_put(jnp.asarray(xb),
+                            NamedSharding(mesh, P("data", None)))
+        out = step(xs)
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(sizes.iters):
+            xs = jax.device_put(
+                jnp.asarray(xb * (0.5 + rng.random((batch, 1),
+                                                   dtype=np.float32))),
+                NamedSharding(mesh, P("data", None)))
+            jax.block_until_ready(xs)
+            t0 = time.perf_counter()
+            out = step(xs)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
+        rows.append({"devices": nd, "batch": batch,
+                     "audio_seconds": batch * sizes.seconds,
+                     "step_seconds": round(dt, 4),
+                     "throughput_xrt": round(batch * sizes.seconds / dt,
+                                             2)})
+    base_tp = rows[0]["throughput_xrt"] / rows[0]["devices"]
+    for r in rows:
+        r["efficiency"] = round(
+            r["throughput_xrt"] / r["devices"] / base_tp, 3)
+    out = {"metric": "scaling_efficiency", "f0_method": sizes.f0_method,
+           "platform": jax.default_backend(), "rows": rows}
+    if jax.default_backend() == "cpu":
+        out["note"] = ("virtual CPU mesh: all devices share the same "
+                       "physical cores, so efficiency reflects core "
+                       "contention, not ICI scaling; run on real "
+                       "hardware for the BASELINE metric")
+    print(json.dumps(out))
+    return 0
+
+
 COMMANDS = {
     "f0analysis": cmd_f0analysis,
     "spanalysis": cmd_spanalysis,
@@ -354,6 +448,7 @@ COMMANDS = {
     "synthesis": cmd_synthesis,
     "test": cmd_test,
     "verify": cmd_verify,
+    "scaling": cmd_scaling,
 }
 
 
