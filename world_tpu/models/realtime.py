@@ -79,6 +79,13 @@ def _response_kernel(env, ap_ratio, current_vuv, noise_draws, noise_size,
         / fft_size
 
 
+@functools.partial(jax.jit, static_argnames=("n", "dtype"))
+def _fast_noise(base_key, refs, n, dtype):
+    """Per-pulse fast-mode noise blocks in one fused device call."""
+    return jax.vmap(lambda r: jax.random.normal(
+        jax.random.fold_in(base_key, r), (n,), dtype))(refs)
+
+
 @functools.partial(jax.jit, static_argnames=("fft_size",))
 def _response_batch(envs, ap_ratios, vuvs, noise_draws, noise_sizes,
                     dc_remover, *, fft_size):
@@ -106,7 +113,8 @@ class StreamingSynthesizer:
     (reference src/world/synthesisrealtime.h, src/synthesisrealtime.cpp)."""
 
     def __init__(self, fs, frame_period, fft_size, buffer_size,
-                 number_of_pointers, rng_mode="exact", dtype=np.float64):
+                 number_of_pointers, rng_mode="exact", dtype=np.float64,
+                 lookahead_pulses=256):
         self.fs = fs
         self.frame_period = frame_period / 1000.0
         self.fft_size = fft_size
@@ -114,6 +122,11 @@ class StreamingSynthesizer:
         self.number_of_pointers = number_of_pointers
         self.rng_mode = rng_mode
         self.dtype = dtype
+        # Render up to this many future pulses per device call and cache
+        # them — a render call has fixed dispatch latency, so small
+        # buffer sizes (64 samples ~ 3 ms) can only hit real time when
+        # one call covers many windows.  0 disables.
+        self.lookahead_pulses = lookahead_pulses
         self.dc_remover = jnp.asarray(_dc_remover_half(fft_size // 2, dtype))
         self.buffer = np.zeros(buffer_size * 2 + fft_size, dtype)
         self.chunks = {}
@@ -137,6 +150,7 @@ class StreamingSynthesizer:
         self._draw_counter = 0
         self._fast_key = jax.random.PRNGKey(3)
         self._fast_step = 0
+        self._resp_cache = {}
 
     def is_locked(self):
         """IsLocked (src/synthesisrealtime.cpp:566-575)."""
@@ -254,43 +268,64 @@ class StreamingSynthesizer:
         # ClearRingBuffer frees pulse arrays but keeps chunk metadata and
         # the caller-owned parameter arrays (src/synthesisrealtime.cpp:
         # 81-99); prune fully out-of-reach chunks to bound memory.
-        for p in range(self.current_pointer2, tmp_pointer):
+        # Clearing is bounded by the CONSUMPTION pointer: a lookahead
+        # seek must never destroy pulses the render walk hasn't reached.
+        reach = min(self.current_pointer, tmp_pointer)
+        for p in range(self.current_pointer2, reach):
             c = self._chunk(p)
             if c is not None:
                 c.number_of_pulses = 0
                 c.pulse_locations = None
                 c.pulse_locations_index = None
-        reach = min(self.current_pointer, tmp_pointer)
         for p in [k for k in self.chunks if k < reach - 1]:
             del self.chunks[p]
         self.current_pointer2 = tmp_pointer
 
-    def _search(self, frame, which):
+    def _frame_pointer(self, frame):
+        """Non-mutating SeekSynthesizer lookup: the ring pointer whose
+        chunk contains ``frame`` (for lookahead rendering, which must
+        not advance current_pointer2 past frames the consumption walk
+        still needs)."""
+        for p in range(self.current_pointer2, self.head_pointer):
+            c = self._chunk(p)
+            if c is not None and \
+                    c.f0_origin <= frame < c.f0_origin + c.f0_length:
+                return p
+        return self.current_pointer2
+
+    def _search(self, frame, which, pointer=None):
         """SearchPointer (src/synthesisrealtime.cpp:119-136)."""
-        c = self._chunk(self.current_pointer2)
+        p = self.current_pointer2 if pointer is None else pointer
+        c = self._chunk(p)
         index = frame - c.f0_origin
         arr = c.spectrogram if which == 0 else c.aperiodicity
         front = arr[index]
         if index == c.f0_length - 1:
-            nc = self._chunk(self.current_pointer2 + 1)
+            nc = self._chunk(p + 1)
             nxt = (nc.spectrogram if which == 0 else nc.aperiodicity)[0]
         else:
             nxt = arr[index + 1]
         return front, nxt
 
-    def _pulse_params(self, noise_size, current_location):
+    def _pulse_env(self, current_location, pointer, ahead=False):
         """Host-side parameter interpolation for one pulse: the frame
         lerp of envelope/aperiodicity and the vuv lookup
-        (src/synthesisrealtime.cpp:246-281, 230-241).  Also advances the
-        exact-RNG draw counter / fast key in stream order."""
+        (src/synthesisrealtime.cpp:246-281, 230-241).  ``pointer`` is
+        the ring pointer whose chunk contains the pulse.  ``ahead``
+        pulses use a non-mutating frame lookup (the consumption-path
+        seek state must not move past frames still to be consumed)."""
         t = current_location / self.fs
-        self._seek(t)
         fp = self.frame_period
         lo = int(t / fp)
+        if ahead:
+            p2 = self._frame_pointer(lo)
+        else:
+            self._seek(t)
+            p2 = None
         hi = int(np.ceil(t / fp))
         w = t / fp - lo
-        sf, sn = self._search(lo, 0)
-        af, an = self._search(lo, 1)
+        sf, sn = self._search(lo, 0, p2)
+        af, an = self._search(lo, 1, p2)
         if lo == hi:
             env = np.abs(sf)
             ap = np.clip(af, 0.001, 1 - 1e-12) ** 2
@@ -300,20 +335,34 @@ class StreamingSynthesizer:
                   + w * np.clip(an, 0.001, 1 - 1e-12)) ** 2
 
         # GetCurrentVUV (src/synthesisrealtime.cpp:230-241)
-        c = self._chunk(self.current_pointer)
+        c = self._chunk(pointer)
         start_sample = max(0, int(np.ceil(
             (c.f0_origin - 1) * self.frame_period * self.fs)))
         vuv = float(c.interpolated_vuv[current_location - start_sample + 1])
+        return env, ap, vuv
 
+    def _rng_ref(self, noise_size):
+        """Allocate the pulse's RNG reference in stream order (mutates
+        the counters; _predict_rng must mirror this)."""
         if self.rng_mode == "exact":
-            rng_ref = self._draw_counter
+            ref = self._draw_counter
             self._draw_counter += max(noise_size, 0)
         elif self.rng_mode == "fast":
             self._fast_step += 1
-            rng_ref = self._fast_step
+            ref = self._fast_step
         else:
-            rng_ref = 0
-        return env, ap, vuv, rng_ref
+            ref = 0
+        return ref
+
+    @staticmethod
+    def _predict_rng(rng_mode, counters, noise_size):
+        """Shadow-walk version of _rng_ref: (ref, next_counters)."""
+        draw, fast = counters
+        if rng_mode == "exact":
+            return draw, (draw + max(noise_size, 0), fast)
+        if rng_mode == "fast":
+            return fast + 1, (draw, fast + 1)
+        return 0, counters
 
     def _render_pulses(self, pulses):
         """Render a window's pulses with ONE vmapped device call
@@ -341,12 +390,13 @@ class StreamingSynthesizer:
             draws = rng_ops.randn_blocks_at(jnp.asarray(offsets), fft)
             draws = jnp.asarray(draws, self.dtype)
         elif self.rng_mode == "fast":
-            keys = jnp.stack(
-                [jax.random.fold_in(self._fast_key,
-                                    pulses[k][3] if k < p else 0)
-                 for k in range(cap)])
-            draws = jax.vmap(lambda kk: jax.random.normal(
-                kk, (fft,), self.dtype))(keys)
+            refs = np.zeros(cap, np.uint32)
+            for k, (_, _, _, ref, ns) in enumerate(pulses):
+                refs[k] = ref
+            # One fused call — an eager per-pulse fold_in loop costs a
+            # full dispatch each on this backend.
+            draws = _fast_noise(self._fast_key, jnp.asarray(refs), fft,
+                                jnp.dtype(self.dtype).name)
         else:
             draws = jnp.zeros((cap, fft), self.dtype)
 
@@ -355,34 +405,41 @@ class StreamingSynthesizer:
             draws, jnp.asarray(sizes), self.dc_remover, fft_size=fft)
         return np.asarray(resp)[:p]
 
-    def _next_pulse_index(self):
-        """GetNextPulseLocationIndex (src/synthesisrealtime.cpp:380-393)."""
-        c = self._chunk(self.current_pointer)
-        if self.i < c.number_of_pulses - 1:
-            return int(c.pulse_locations_index[self.i + 1])
-        if self.current_pointer == self.head_pointer - 1:
+    def _next_pulse_index_at(self, pointer, i):
+        """GetNextPulseLocationIndex (src/synthesisrealtime.cpp:380-393)
+        at an explicit walk position."""
+        c = self._chunk(pointer)
+        if i < c.number_of_pulses - 1:
+            return int(c.pulse_locations_index[i + 1])
+        if pointer == self.head_pointer - 1:
             return 0
-        for i in range(1, self.number_of_pointers):
-            c = self._chunk(self.current_pointer + i)
+        for k in range(1, self.number_of_pointers):
+            c = self._chunk(pointer + k)
             if c is not None and c.number_of_pulses != 0:
                 return int(c.pulse_locations_index[0])
         return 0
 
-    def _update(self):
-        """UpdateSynthesizer (src/synthesisrealtime.cpp:395-413)."""
-        c = self._chunk(self.current_pointer)
-        if self.i < c.number_of_pulses - 1:
-            self.i += 1
-            return True
-        if self.current_pointer == self.head_pointer - 1:
-            return False
-        for i in range(1, self.number_of_pointers):
-            c = self._chunk(self.current_pointer + i)
+    def _advance_at(self, pointer, i):
+        """UpdateSynthesizer's walk step (src/synthesisrealtime.cpp:
+        395-413) without mutating: returns (pointer, i, ok)."""
+        c = self._chunk(pointer)
+        if i < c.number_of_pulses - 1:
+            return pointer, i + 1, True
+        if pointer == self.head_pointer - 1:
+            return pointer, i, False
+        for k in range(1, self.number_of_pointers):
+            c = self._chunk(pointer + k)
             if c is not None and c.number_of_pulses != 0:
-                self.i = 0
-                self.current_pointer += i
-                return True
-        return False
+                return pointer + k, 0, True
+        return pointer, i, False
+
+    def _next_pulse_index(self):
+        return self._next_pulse_index_at(self.current_pointer, self.i)
+
+    def _update(self):
+        self.current_pointer, self.i, ok = self._advance_at(
+            self.current_pointer, self.i)
+        return ok
 
     def synthesis2(self):
         """Synthesis2 (src/synthesisrealtime.cpp:577-603).  On success the
@@ -404,23 +461,64 @@ class StreamingSynthesizer:
 
         c = self._chunk(self.current_pointer)
         current_location = int(c.pulse_locations_index[self.i])
-        pulses, locations = [], []
+        window, to_render, render_keys = [], [], []
         while current_location < self.synthesized_sample + bs:
+            at = (self.current_pointer, self.i)
             tmp = self._next_pulse_index()
             noise_size = tmp - current_location
-            env, ap, vuv, ref = self._pulse_params(noise_size,
-                                                   current_location)
-            pulses.append((env, ap, vuv, ref, noise_size))
-            locations.append(current_location)
+            env, ap, vuv = self._pulse_env(current_location, at[0])
+            ref = self._rng_ref(noise_size)
+            key = (at[0], at[1], noise_size, ref)
+            window.append((current_location, key))
+            if key not in self._resp_cache:
+                to_render.append((env, ap, vuv, ref, noise_size))
+                render_keys.append(key)
             current_location = tmp
             if not self._update():
                 break
-        if pulses:
-            resps = self._render_pulses(pulses)
-            for loc, resp in zip(locations, resps):
-                offset = loc - self.synthesized_sample - fft // 2 + 1
-                lo = max(0, -offset)
-                self.buffer[lo + offset: fft + offset] += resp[lo:]
+
+        # Lookahead: shadow-walk future pulses (all but the last known
+        # one, whose noise_size is provisional until the next pulse
+        # exists) with predicted RNG references, and render them in the
+        # SAME device call — one dispatch then covers many render
+        # windows, which is what makes 64-sample buffers real-time.
+        ahead_params, ahead_keys = [], []
+        if self.lookahead_pulses:
+            ptr, i = self.current_pointer, self.i
+            counters = (self._draw_counter, self._fast_step)
+            while (len(ahead_keys) + len(to_render)
+                   < self.lookahead_pulses):
+                ca = self._chunk(ptr)
+                if ca is None or ca.number_of_pulses == 0:
+                    break
+                loc = int(ca.pulse_locations_index[i])
+                tmp = self._next_pulse_index_at(ptr, i)
+                if tmp == 0:
+                    break
+                ns = tmp - loc
+                ref, counters = self._predict_rng(self.rng_mode,
+                                                  counters, ns)
+                key = (ptr, i, ns, ref)
+                if key not in self._resp_cache:
+                    env, ap, vuv = self._pulse_env(loc, ptr, ahead=True)
+                    ahead_params.append((env, ap, vuv, ref, ns))
+                    ahead_keys.append(key)
+                ptr, i, ok = self._advance_at(ptr, i)
+                if not ok:
+                    break
+
+        batch = to_render + ahead_params
+        if batch:
+            resps = self._render_pulses(batch)
+            for key, resp in zip(render_keys + ahead_keys, resps):
+                self._resp_cache[key] = resp
+        for loc, key in window:
+            resp = self._resp_cache.pop(key)
+            offset = loc - self.synthesized_sample - fft // 2 + 1
+            lo = max(0, -offset)
+            self.buffer[lo + offset: fft + offset] += resp[lo:]
+        if len(self._resp_cache) > 4 * max(self.lookahead_pulses, 64):
+            self._resp_cache.clear()  # stale keys from rewound streams
         self.synthesized_sample += bs
         # The reference calls SeekSynthesizer(synthesized_sample) here with
         # samples where seconds are expected, so it never matches a frame
