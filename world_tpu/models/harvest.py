@@ -309,10 +309,13 @@ def _refine_frame_direct(seg, tmp, fs_t, hw_max, f0, f0_floor, f0_ceil):
     phase = omega[:, None] * j.astype(dtype)[None, :]
     c = jnp.cos(phase)
     s = jnp.sin(phase)
-    main_re = c @ xm
-    main_im = -(s @ xm)
-    diff_re = c @ xd
-    diff_im = -(s @ xd)
+    # Explicit multiply-reduce instead of (6, W) @ (W,) dots: XLA fuses
+    # the cos/sin producers into the reduction, so the per-pair phase
+    # matrices never materialize in HBM (they dominated refine's cost).
+    main_re = jnp.sum(c * xm, axis=-1)
+    main_im = -jnp.sum(s * xm, axis=-1)
+    diff_re = jnp.sum(c * xd, axis=-1)
+    diff_im = -jnp.sum(s * xd, axis=-1)
     power = main_re**2 + main_im**2
     numer = main_re * diff_im - main_im * diff_re
 
@@ -395,10 +398,13 @@ def _refine_all(y, fs_t, positions, cands, f0_floor, f0_ceil, sizes,
         W = 2 * hw_max + 1
         f0_raw = flat_f0[: n_frames * n_slots].reshape(n_frames, n_slots)
         invalid = f0_raw <= 0.0
-        order = jnp.argsort(invalid, axis=1, stable=True)
-        f0_sorted = jnp.take_along_axis(
-            jnp.where(invalid, 100.0, f0_raw), order, axis=1)
-        n_valid_max = jnp.max(jnp.sum(~invalid, axis=1))
+        f0_filled = jnp.where(invalid, 100.0, f0_raw)
+        # Valid slots are structurally bounded (overlap fills slots
+        # s < 7*C only), so chunking in ORIGINAL slot order covers the
+        # same work as front-compaction without its two argsorts and
+        # four per-lane take_along_axis gathers.
+        last_valid = jnp.max(jnp.where(~invalid,
+                                       jnp.arange(n_slots)[None, :], -1))
 
         # Frame-shared segments and window time bases, computed once.
         c0 = matlab_round(positions * fs_t + 0.001)
@@ -410,14 +416,14 @@ def _refine_all(y, fs_t, positions, cands, f0_floor, f0_ceil, sizes,
 
         sc = 8
         s_pad = (-n_slots) % sc
-        f0_sorted = jnp.concatenate(
-            [f0_sorted, jnp.full((n_frames, s_pad), 100.0, y.dtype)], 1)
-        needed = (n_valid_max + sc - 1) // sc
+        f0_filled = jnp.concatenate(
+            [f0_filled, jnp.full((n_frames, s_pad), 100.0, y.dtype)], 1)
+        needed = (last_valid + 1 + sc - 1) // sc
 
         def body(carry):
             i, r_acc, s_acc = carry
             fchunk = jax.lax.dynamic_slice(
-                f0_sorted, (0, i * sc), (n_frames, sc))
+                f0_filled, (0, i * sc), (n_frames, sc))
             r, sco = jax.vmap(lambda seg, tmp, frow: jax.vmap(
                 lambda ff: _refine_frame_direct(
                     seg, tmp, fs_t, hw_max, ff, f0_floor, f0_ceil))(frow)
@@ -427,13 +433,10 @@ def _refine_all(y, fs_t, positions, cands, f0_floor, f0_ceil, sizes,
             return i + 1, r_acc, s_acc
 
         zeros = jnp.zeros((n_frames, n_slots + s_pad), y.dtype)
-        _, r_sorted, s_sorted = jax.lax.while_loop(
+        _, refined, scores = jax.lax.while_loop(
             lambda c: c[0] < needed, body, (0, zeros, zeros))
-        inv = jnp.argsort(order, axis=1, stable=True)
-        refined = jnp.take_along_axis(r_sorted[:, :n_slots], inv, axis=1)
-        scores = jnp.take_along_axis(s_sorted[:, :n_slots], inv, axis=1)
-        return (jnp.where(~invalid, refined, 0.0),
-                jnp.where(~invalid, scores, 0.0))
+        return (jnp.where(~invalid, refined[:, :n_slots], 0.0),
+                jnp.where(~invalid, scores[:, :n_slots], 0.0))
 
     refined = jnp.where(usable, refined, 0.0)[:n]
     scores = jnp.where(usable, scores, 0.0)[:n]

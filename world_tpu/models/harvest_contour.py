@@ -257,8 +257,15 @@ def _smooth_contour(f0, cap):
     ed_c = jnp.clip(ed, 0, n - 1)
 
     # Edge-hold input per section: x[t] = contour[clip(t, st, ed)].
+    # Expressed as selects over the shared contour row plus two scalar
+    # edge values per section — the 2D clip-gather was a per-lane
+    # arbitrary gather (the slow primitive).
     t = jnp.arange(n)
-    x = contour[jnp.clip(t[None, :], st_c[:, None], ed_c[:, None])]
+    v_st = contour[st_c]
+    v_ed = contour[ed_c]
+    x = jnp.where(t[None, :] < st_c[:, None], v_st[:, None],
+                  jnp.where(t[None, :] > ed_c[:, None], v_ed[:, None],
+                            contour[None, :]))
     x = jnp.where(valid[:, None], x, 0.0)
 
     def biquad(seq):
