@@ -96,7 +96,7 @@ def _frame_kernel(x, fs, fft_size, q1, f0_floor, f0_cap, b_max, b_cap_dc, f0,
                    static_argnames=("fs", "fft_size", "q1", "rng_mode",
                                     "f0_cap"))
 def _cheap_trick_impl(x, temporal_positions, f0, *, fs, fft_size, q1,
-                      rng_mode, f0_cap=1200.0):
+                      rng_mode, f0_cap=config.K_CEIL_F0 * 1.1):
     dtype = x.dtype
     half = fft_size // 2
     f0_floor = config.get_f0_floor_for_cheaptrick(fs, fft_size)
@@ -144,10 +144,13 @@ def _cheap_trick_impl(x, temporal_positions, f0, *, fs, fft_size, q1,
 def f0_cap_for(f0_ceil):
     """Static smoothing-bin cap for a declared F0 ceiling.
 
-    Estimators emit up to f0_ceil * 1.1 (harvest widens its search range,
-    src/harvest.cpp:1149-1150); keep 1200 as the floor so default configs
-    share one compiled kernel."""
-    return max(1200.0, float(f0_ceil) * 1.1) if f0_ceil else 1200.0
+    Estimators reject refined values above their f0_ceil, and harvest's
+    widened candidate band tops out at f0_ceil * 1.1
+    (src/harvest.cpp:1149-1150), so kCeilF0 * 1.1 = 880 bounds every
+    default F0 track; the cap sizes the static smoothing/DC-correction
+    buffers (b_max scales the hot windowed-sum loops)."""
+    return max(config.K_CEIL_F0 * 1.1, float(f0_ceil) * 1.1) \
+        if f0_ceil else config.K_CEIL_F0 * 1.1
 
 
 def cheap_trick(x, fs, temporal_positions, f0, option=None, rng_mode="exact",

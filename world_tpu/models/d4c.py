@@ -148,7 +148,7 @@ def _d4c_body_frame(x, fs_t, fft_size_d4c, n_bands, window, window_length,
 @functools.partial(jax.jit, static_argnames=("fs", "fft_size", "threshold",
                                               "rng_mode", "f0_cap"))
 def _d4c_impl(x, temporal_positions, f0, fs_t, *, fs, fft_size, threshold,
-              rng_mode, f0_cap=1200.0):
+              rng_mode, f0_cap=config.K_CEIL_F0 * 1.1):
     dtype = x.dtype
     n_frames = f0.shape[0]
     half_out = fft_size // 2
@@ -208,11 +208,33 @@ def _d4c_impl(x, temporal_positions, f0, fs_t, *, fs, fft_size, threshold,
 
     padb = jnp.zeros((n_frames, 3, fft_d4c - max_body), dtype)
     b_max = int(f0_cap * fft_d4c / fs) + 2
-    coarse = jax.vmap(lambda f, p, d: _d4c_body_frame(
-        x, fs_t, fft_d4c, n_bands, window, window_length,
-        jnp.asarray(f0_cap, dtype), b_max, f, p, d))(
-            f0_body, temporal_positions,
-            jnp.concatenate([body_dither, padb], 2))
+    dither_full = jnp.concatenate([body_dither, padb], 2)
+
+    # The reference runs D4CGeneralBody only for frames passing the
+    # LoveTrain gate (src/d4c.cpp:385-395).  Compact passing frames to
+    # the front and process only enough chunks to cover them — the
+    # masked-out remainder keeps its default-aperiodicity row anyway.
+    order = jnp.argsort(~passing, stable=True)
+    n_pass = jnp.sum(passing)
+    fc = min(32, n_frames)
+    f_pad = (-n_frames) % fc
+    order_p = jnp.concatenate([order, jnp.zeros(f_pad, order.dtype)])
+    needed = (n_pass + fc - 1) // fc
+
+    def body_fn(carry):
+        i, acc = carry
+        idxs = jax.lax.dynamic_slice(order_p, (i * fc,), (fc,))
+        cc = jax.vmap(lambda f, p, d: _d4c_body_frame(
+            x, fs_t, fft_d4c, n_bands, window, window_length,
+            jnp.asarray(f0_cap, dtype), b_max, f, p, d))(
+                f0_body[idxs], temporal_positions[idxs], dither_full[idxs])
+        return i + 1, jax.lax.dynamic_update_slice(acc, cc, (i * fc, 0))
+
+    acc0 = jnp.zeros((n_frames + f_pad, n_bands), dtype)
+    _, compacted = jax.lax.while_loop(lambda c: c[0] < needed, body_fn,
+                                      (0, acc0))
+    inv = jnp.argsort(order, stable=True)
+    coarse = compacted[:n_frames][inv]
 
     # Assemble [-60, coarse..., -eps] and interpolate onto the output axis
     # (src/d4c.cpp:330-338,372-394).
