@@ -163,11 +163,37 @@ def _synthesis_impl(f0, spectrogram, aperiodicity, fs_t, *, fs, fft_size,
     current_time = safe_idx.astype(dtype) / fs_t
     current_vuv = ivuv[safe_idx]
 
-    responses = jax.vmap(
-        lambda t, v, s, nd, ns: _one_pulse(
+    def render(t, v, s, nd, ns):
+        return jax.vmap(lambda tt, vv, ss, nn, zz: _one_pulse(
             sp_abs, ap_safe, f0_length, fft_size, frame_period_s, fs_t,
-            dc_rem, t, v, s, nd, ns)
-    )(current_time, current_vuv, shift, noise_draws, noise_size)
+            dc_rem, tt, vv, ss, nn, zz))(t, v, s, nd, ns)
+
+    if dtype == jnp.float64:
+        responses = render(current_time, current_vuv, shift, noise_draws,
+                           noise_size)
+    else:
+        # max_pulses is a worst-case capacity (~1500 Hz); real tracks
+        # have far fewer pulses and the compaction sort already put them
+        # first, so render only enough chunks to cover n_pulses.
+        pc = min(128, max_pulses)
+        p_pad = (-max_pulses) % pc
+        padz = lambda a: jnp.concatenate(
+            [a, jnp.zeros((p_pad,) + a.shape[1:], a.dtype)])
+        args = tuple(padz(a) for a in (current_time, current_vuv, shift,
+                                       noise_draws, noise_size))
+        needed = (n_pulses + pc - 1) // pc
+
+        def body(carry):
+            i, acc = carry
+            sl = tuple(jax.lax.dynamic_slice_in_dim(a, i * pc, pc)
+                       for a in args)
+            return i + 1, jax.lax.dynamic_update_slice(
+                acc, render(*sl), (i * pc, 0))
+
+        acc0 = jnp.zeros((max_pulses + p_pad, fft_size), dtype)
+        _, responses = jax.lax.while_loop(lambda c: c[0] < needed, body,
+                                          (0, acc0))
+        responses = responses[:max_pulses]
     responses = jnp.where(valid[:, None], responses, 0.0)
 
     offsets = safe_idx - fft_size // 2 + 1
