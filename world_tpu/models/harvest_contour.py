@@ -91,19 +91,20 @@ def _fix_step2(step1, voice_range_minimum=6):
     return jnp.where(remove, 0.0, step1)
 
 
-def _extend_one(values, origin, last_point, shift, cands, allowed):
+def _extend_one(values, origin, last_point, shift, rows, allowed):
     """ExtendF0 (src/harvest.cpp:791-820): walk from ``origin`` toward
     ``last_point`` selecting candidates, stop after 4 straight misses.
+    ``rows`` are the 101 candidate rows of the walk pre-sliced in step
+    order (a per-step gather inside the scan was the slow primitive;
+    out-of-range steps carry zero rows, masked by ``active``).
     Returns (emitted values (101,), shifted_origin)."""
     n_steps = jnp.abs(last_point - origin) + 1
-    tmp0 = values[origin]
-    n_frames = cands.shape[0]
 
-    def body(carry, s):
+    def body(carry, inp):
+        s, row = inp
         tmp, cnt, done, shifted = carry
         t = origin + shift * (s + 1)
         active = (s < n_steps) & ~done
-        row = cands[jnp.clip(t, 0, n_frames - 1)]
         val = jnp.where(active, _select_best(tmp, row, allowed), 0.0)
         hit = val != 0.0
         cnt = jnp.where(active, jnp.where(hit, 0, cnt + 1), cnt)
@@ -113,7 +114,7 @@ def _extend_one(values, origin, last_point, shift, cands, allowed):
         return (tmp, cnt, done, shifted), val
 
     (_, _, _, shifted), vals = jax.lax.scan(
-        body, (tmp0, 0, False, origin), jnp.arange(101))
+        body, (values[origin], 0, False, origin), (jnp.arange(101), rows))
     return vals, shifted
 
 
@@ -144,13 +145,27 @@ def _fix_step3(step2, cands, scores, cap, allowed_range=0.18):
     in_sec = (j[None, :] >= st[:, None]) & (j[None, :] <= ed[:, None])
     multi = jnp.where(in_sec & sec_valid[:, None], step2[None, :], 0.0)
 
-    # Extend every section both ways (threshold 100 frames).
+    # Extend every section both ways (threshold 100 frames).  Walk
+    # windows are contiguous, so each direction's 101 candidate rows are
+    # one dynamic_slice of a zero-padded copy (per-lane starts into a
+    # SHARED array — the fast path).
+    cands_pad = jnp.concatenate(
+        [jnp.zeros((101,) + cands.shape[1:], cands.dtype), cands,
+         jnp.zeros((101,) + cands.shape[1:], cands.dtype)])
+
+    def walk_rows(first_t):
+        return jax.lax.dynamic_slice(
+            cands_pad, (first_t + 101, 0), (101, cands.shape[1]))
+
     def extend_k(row, s, e):
         last_r = jnp.minimum(n_frames - 2, e + 100)
-        vals_r, new_e = _extend_one(row, e, last_r, 1, cands, allowed_range)
+        vals_r, new_e = _extend_one(row, e, last_r, 1, walk_rows(e + 1),
+                                    allowed_range)
         row = row + _place(vals_r, e, 1, n_frames)
         last_l = jnp.maximum(1, s - 100)
-        vals_l, new_s = _extend_one(row, s, last_l, -1, cands, allowed_range)
+        vals_l, new_s = _extend_one(row, s, last_l, -1,
+                                    walk_rows(s - 101)[::-1],
+                                    allowed_range)
         row = row + _place(vals_l, s, -1, n_frames)
         return row, new_s, new_e
 
