@@ -102,7 +102,7 @@ def _all_channel_candidates_fast(boundaries, y_spectrum, y_length,
         return zerocross.four_stream_block_summaries(
             filtered, y_length, block_index, block_mask)
 
-    sums, n_pairs = jax.lax.map(chan, boundaries, batch_size=32)
+    sums, n_pairs = jax.lax.map(chan, boundaries, batch_size=76)
     big = jnp.asarray(3e38 if dtype == jnp.float32 else 1e300, dtype)
     interp = zerocross.frame_candidates_eval(
         jnp.moveaxis(sums, 1, 0), actual_fs,
