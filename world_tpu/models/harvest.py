@@ -305,17 +305,31 @@ def _refine_frame_direct(seg, tmp, fs_t, hw_max, f0, f0_floor, f0_ceil):
     index = matlab_round(f0 * fft_size / fs_t * harm)
     index = jnp.clip(index, 0, (fft_size / 2).astype(jnp.int32))
 
+    # On the centered grid the DFT phase omega*j is odd-symmetric, so
+    # cos is even and sin odd in j: folding the windowed segments into
+    # even/odd halves (j in [0, hw_max]) halves both the transcendental
+    # count and the reduction width of all four dots exactly.
+    #   sum_j cos(w j) x_j = sum_{j>=0} cos(w j) (x_j + [j>0] x_{-j})
+    #   sum_j sin(w j) x_j = sum_{j>0}  sin(w j) (x_j - x_{-j})
+    def fold(v):
+        mirror = jnp.concatenate([jnp.zeros(1, dtype),
+                                  v[hw_max - 1::-1]])
+        return v[hw_max:] + mirror, v[hw_max:] - mirror
+
+    xm_e, xm_o = fold(xm)
+    xd_e, xd_o = fold(xd)
+    jhalf = jnp.arange(hw_max + 1, dtype=dtype)
     omega = (2.0 * config.K_PI / fft_size) * index.astype(dtype)
-    phase = omega[:, None] * j.astype(dtype)[None, :]
+    phase = omega[:, None] * jhalf[None, :]
     c = jnp.cos(phase)
     s = jnp.sin(phase)
     # Explicit multiply-reduce instead of (6, W) @ (W,) dots: XLA fuses
     # the cos/sin producers into the reduction, so the per-pair phase
     # matrices never materialize in HBM (they dominated refine's cost).
-    main_re = jnp.sum(c * xm, axis=-1)
-    main_im = -jnp.sum(s * xm, axis=-1)
-    diff_re = jnp.sum(c * xd, axis=-1)
-    diff_im = -jnp.sum(s * xd, axis=-1)
+    main_re = jnp.sum(c * xm_e, axis=-1)
+    main_im = -jnp.sum(s * xm_o, axis=-1)
+    diff_re = jnp.sum(c * xd_e, axis=-1)
+    diff_im = -jnp.sum(s * xd_o, axis=-1)
     power = main_re**2 + main_im**2
     numer = main_re * diff_im - main_im * diff_re
 
