@@ -91,12 +91,13 @@ def _fix_step2(step1, voice_range_minimum=6):
     return jnp.where(remove, 0.0, step1)
 
 
-def _extend_one(values, origin, last_point, shift, rows, allowed):
+def _extend_one(ref0, origin, last_point, shift, rows, allowed):
     """ExtendF0 (src/harvest.cpp:791-820): walk from ``origin`` toward
     ``last_point`` selecting candidates, stop after 4 straight misses.
-    ``rows`` are the 101 candidate rows of the walk pre-sliced in step
-    order (a per-step gather inside the scan was the slow primitive;
-    out-of-range steps carry zero rows, masked by ``active``).
+    ``ref0`` is the contour value at the origin; ``rows`` are the 101
+    candidate rows of the walk pre-sliced in step order (a per-step
+    gather inside the scan was the slow primitive; out-of-range steps
+    carry zero rows, masked by ``active``).
     Returns (emitted values (101,), shifted_origin)."""
     n_steps = jnp.abs(last_point - origin) + 1
 
@@ -114,7 +115,7 @@ def _extend_one(values, origin, last_point, shift, rows, allowed):
         return (tmp, cnt, done, shifted), val
 
     (_, _, _, shifted), vals = jax.lax.scan(
-        body, (values[origin], 0, False, origin), (jnp.arange(101), rows))
+        body, (ref0, 0, False, origin), (jnp.arange(101), rows))
     return vals, shifted
 
 
@@ -159,11 +160,11 @@ def _fix_step3(step2, cands, scores, cap, allowed_range=0.18):
 
     def extend_k(row, s, e):
         last_r = jnp.minimum(n_frames - 2, e + 100)
-        vals_r, new_e = _extend_one(row, e, last_r, 1, walk_rows(e + 1),
-                                    allowed_range)
+        vals_r, new_e = _extend_one(row[e], e, last_r, 1,
+                                    walk_rows(e + 1), allowed_range)
         row = row + _place(vals_r, e, 1, n_frames)
         last_l = jnp.maximum(1, s - 100)
-        vals_l, new_s = _extend_one(row, s, last_l, -1,
+        vals_l, new_s = _extend_one(row[s], s, last_l, -1,
                                     walk_rows(s - 101)[::-1],
                                     allowed_range)
         row = row + _place(vals_l, s, -1, n_frames)
@@ -201,17 +202,37 @@ def _fix_step3(step2, cands, scores, cap, allowed_range=0.18):
     order = jnp.argsort(jnp.where(jnp.arange(cap) < n_kept, st_k, BIG),
                         stable=True)
 
-    # Sequential merge (src/harvest.cpp:881-963).
-    frame_score = jax.vmap(lambda c: _search_score(c, cands, scores))(
-        multi_k)  # (cap, F)
+    # Per-section frame scores, chunked to the kept prefix (kept
+    # sections are compacted to the front, so a while_loop over 8-lane
+    # chunks stops once every kept section is scored instead of paying
+    # the full fixed capacity).
+    sc = 8
+    cpad = (-cap) % sc
+    multi_p = jnp.concatenate(
+        [multi_k, jnp.zeros((cpad, n_frames), multi_k.dtype)])
+    fs_needed = (jnp.maximum(n_kept, 1) + sc - 1) // sc
+
+    def fs_body(carry):
+        i, acc = carry
+        chunk = jax.lax.dynamic_slice(multi_p, (i * sc, 0),
+                                      (sc, n_frames))
+        r = jax.vmap(lambda c: _search_score(c, cands, scores))(chunk)
+        return i + 1, jax.lax.dynamic_update_slice(acc, r, (i * sc, 0))
+
+    _, frame_score = jax.lax.while_loop(
+        lambda c: c[0] < fs_needed, fs_body,
+        (0, jnp.zeros((cap + cpad, n_frames), multi_k.dtype)))
+    frame_score = frame_score[:cap]  # (cap, F)
+
+    # Sequential merge (src/harvest.cpp:881-963), trip count bounded by
+    # the actual kept-section count instead of the fixed capacity.
     merged0 = multi_k[0]
     b0_0 = st_k[0]
     b1_0 = ed_k[0]
 
-    def merge_body(carry, i):
-        merged, mscore, b0, b1 = carry
+    def merge_body(carry):
+        i, merged, mscore, b0, b1 = carry
         oi = order[i]
-        valid = i < n_kept
         st2, ed2 = st_k[oi], ed_k[oi]
         f0_2 = multi_k[oi]
         s2 = frame_score[oi]
@@ -223,17 +244,17 @@ def _fix_step3(step2, cands, scores, cap, allowed_range=0.18):
         score1 = jnp.sum(jnp.where(in_score, mscore, 0.0))
         score2 = jnp.sum(jnp.where(in_score, s2, 0.0))
         lo = jnp.where(score1 > score2, b1, st2)  # overwrite [lo, ed2]
-        write = valid & (disjoint & (j >= st2) & (j <= ed2)
-                         | overlap & (j >= lo) & (j <= ed2))
+        write = (disjoint & (j >= st2) & (j <= ed2)
+                 | overlap & (j >= lo) & (j <= ed2))
         merged = jnp.where(write, f0_2, merged)
         mscore = jnp.where(write, s2, mscore)
-        b0 = jnp.where(valid & disjoint, st2, b0)
-        b1 = jnp.where(valid & ~contained, ed2, b1)
-        return (merged, mscore, b0, b1), 0
+        b0 = jnp.where(disjoint, st2, b0)
+        b1 = jnp.where(~contained, ed2, b1)
+        return i + 1, merged, mscore, b0, b1
 
-    (merged, _, _, _), _ = jax.lax.scan(
-        merge_body, (merged0, frame_score[0], b0_0, b1_0),
-        jnp.arange(1, cap))
+    _, merged, _, _, _ = jax.lax.while_loop(
+        lambda c: c[0] < n_kept, merge_body,
+        (1, merged0, frame_score[0], b0_0, b1_0))
 
     merged = jnp.where(n_kept > 0, merged, step2)
     return jnp.where(n_sec > 0, merged, step2)
