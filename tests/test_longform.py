@@ -54,9 +54,14 @@ def test_chunked_analysis_matches_direct():
 def test_chunked_harvest_matches_direct():
     """Harvest's contour logic reaches up to ~0.2 s from a voiced-section
     edge (FixStep3 extension + smoothing decay); the default halo must
-    cover it so chunked == whole-signal away from chunk edges."""
+    cover it so chunked == whole-signal away from chunk edges.
+
+    Runs in float32 (the TPU fast path) — chunked-vs-direct consistency
+    is method-internal, and the f64 refine path costs ~15 min of CPU on
+    a 12 s signal where the f32 path costs ~2."""
     fs = 16000
     x, _ = _long_vowelish(fs, 12.0)
+    x = x.astype(np.float32)
 
     tp_c, f0_c, sp_c, ap_c = analyze_long(
         x, fs, chunk_seconds=4.0, f0_method="harvest")
