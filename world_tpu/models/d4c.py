@@ -216,7 +216,7 @@ def _d4c_impl(x, temporal_positions, f0, fs_t, *, fs, fft_size, threshold,
     # masked-out remainder keeps its default-aperiodicity row anyway.
     order = jnp.argsort(~passing, stable=True)
     n_pass = jnp.sum(passing)
-    fc = min(32, n_frames)
+    fc = min(16, n_frames)
     f_pad = (-n_frames) % fc
     order_p = jnp.concatenate([order, jnp.zeros(f_pad, order.dtype)])
     needed = (n_pass + fc - 1) // fc

@@ -428,7 +428,7 @@ def _refine_all(y, fs_t, positions, cands, f0_floor, f0_ceil, sizes,
         tmps = ((c0[:, None] + jj[None, :]).astype(y.dtype) - 1.0) / fs_t \
             - positions[:, None]
 
-        sc = 8
+        sc = 4
         s_pad = (-n_slots) % sc
         f0_filled = jnp.concatenate(
             [f0_filled, jnp.full((n_frames, s_pad), 100.0, y.dtype)], 1)
