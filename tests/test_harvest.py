@@ -128,3 +128,31 @@ def test_contour_fix_device_matches_host_more():
                                         jnp.asarray(scores)))
         np.testing.assert_allclose(dev, ref, atol=1e-9, rtol=1e-9,
                                    err_msg=f"trial {trial} F={F} S={S}")
+
+
+def test_contour_fix_many_sections():
+    """>8 surviving sections forces multiple trips of the chunked
+    extension while_loop in _fix_step3 (the single real-audio fixture
+    has ~5 sections, so multi-trip chunking is otherwise unexercised)."""
+    import world_tpu.models.harvest as H
+    from world_tpu.models.harvest_contour import fix_and_smooth
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    F, S = 797, 21
+    cands = np.zeros((F, S))
+    scores = np.zeros((F, S))
+    t = 5
+    while t + 12 < F:
+        # stable pitch per run so FixStep1's 0.008 jump test keeps it
+        pitch = 100.0 + 400.0 * rng.rand()
+        ln = rng.randint(7, 14)
+        for i in range(t, t + ln):
+            k = rng.randint(1, S)
+            cands[i, :k] = pitch * (1.0 + 0.002 * rng.randn(k))
+            scores[i, :k] = np.abs(rng.randn(k)) * 3.0
+        t += ln + rng.randint(10, 25)
+    ref = H._smooth_contour_np(H._fix_contour_np(cands, scores))
+    dev = np.asarray(fix_and_smooth(jnp.asarray(cands),
+                                    jnp.asarray(scores)))
+    np.testing.assert_allclose(dev, ref, atol=1e-9, rtol=1e-9)

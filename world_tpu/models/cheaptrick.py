@@ -74,18 +74,13 @@ def _smoothing_with_recovery(smoothed_power, f0, fs, fft_size, q1):
     return jnp.exp(envelope[: half + 1])
 
 
-def _frame_kernel(x, fs, fft_size, q1, f0_floor, f0_cap, b_max, b_cap_dc, f0,
-                  position, win_dither, spec_dither):
-    f0 = jnp.where(f0 <= f0_floor, config.K_DEFAULT_F0, f0)
+def _power_kernel(x, fs, fft_size, f0, position, win_dither):
     waveform = _windowed_waveform(x, fs, f0, position, fft_size, win_dither)
     spectrum = jnp.fft.rfft(waveform)
-    power = spectrum.real**2 + spectrum.imag**2
-    # f0 is clamped at the static cap for the DC-correction/smoothing
-    # bins (the cap is sized from the caller's f0_ceil, so it only binds
-    # on f0 values above the declared ceiling — a documented deviation
-    # instead of silent zero-fill).
-    f0_b = jnp.minimum(f0, f0_cap)
-    power = common.dc_correction(power, f0_b, fs, fft_size, b_cap=b_cap_dc)
+    return spectrum.real**2 + spectrum.imag**2
+
+
+def _envelope_kernel(fs, fft_size, q1, b_max, power, f0, f0_b, spec_dither):
     width = f0_b * 2.0 / 3.0
     power = common.linear_smoothing(power, width, fs, fft_size, b_max)
     power = power + jnp.abs(spec_dither) * config.K_EPS
@@ -135,10 +130,26 @@ def _cheap_trick_impl(x, temporal_positions, f0, *, fs, fft_size, q1,
         win_dither = jnp.zeros((n_frames, fft_size), dtype)
         spec_dither = jnp.zeros((n_frames, half + 1), dtype)
 
-    kernel = functools.partial(_frame_kernel, x, fs, fft_size, q1, f0_floor,
-                               jnp.asarray(f0_cap, dtype), b_max, b_cap_dc)
-    return jax.vmap(kernel)(f0_eff, temporal_positions, win_dither,
-                            spec_dither)
+    power = jax.vmap(
+        lambda f, p, d: _power_kernel(x, fs, fft_size, f, p, d))(
+            f0_eff, temporal_positions, win_dither)
+    # f0 is clamped at the static cap for the DC-correction/smoothing
+    # bins (the cap is sized from the caller's f0_ceil, so it only binds
+    # on f0 values above the declared ceiling — a documented deviation
+    # instead of silent zero-fill).
+    f0_b = jnp.minimum(f0_eff, jnp.asarray(f0_cap, dtype))
+    if dtype == jnp.float64:
+        power = jax.vmap(lambda s, f: common.dc_correction(
+            s, f, fs, fft_size, b_cap=b_cap_dc))(power, f0_b)
+    else:
+        # One batched fast-path DC correction instead of a per-frame
+        # arbitrary gather (see common.dc_correction_batched).
+        power = common.dc_correction_batched(power, f0_b, fs, fft_size,
+                                             b_cap=b_cap_dc)
+    return jax.vmap(
+        lambda pw, f, fb, d: _envelope_kernel(fs, fft_size, q1, b_max,
+                                              pw, f, fb, d))(
+            power, f0_eff, f0_b, spec_dither)
 
 
 def f0_cap_for(f0_ceil):

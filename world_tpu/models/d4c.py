@@ -78,8 +78,8 @@ def _centroid(x, fs_t, fft_size, f0, position, dither):
     return spec1.real * spec2.real + spec1.imag * spec2.imag
 
 
-def _coarse_aperiodicity(static_group_delay, fs_t, fft_size, n_bands, window,
-                         window_length, dtype):
+def _coarse_aperiodicity(static_group_delay, fs_static, fft_size, n_bands,
+                         window, window_length, dtype):
     """Per-band sorted cumulative power tail of the windowed group delay
     (src/d4c.cpp:194-225).  vmapped over bands; sort via jnp.sort."""
     # static: matlab_round of positive static operands
@@ -87,62 +87,95 @@ def _coarse_aperiodicity(static_group_delay, fs_t, fft_size, n_bands, window,
     half_window = window_length // 2
     half = fft_size // 2
 
-    def one_band(band):
-        center = ((config.K_FREQUENCY_INTERVAL * (band + 1) * fft_size)
-                  / fs_t).astype(jnp.int32)
-        start = center - half_window
-        seg = jax.lax.dynamic_slice(static_group_delay, (start,),
-                                    (window_length,)) * window
-        spec = jnp.fft.rfft(seg, n=fft_size)
-        power = spec.real**2 + spec.imag**2
-        # The reference sorts and reads the cumulative tail
-        # (src/d4c.cpp:217-222): cum[half-boundary-1]/cum[half] ==
-        # 1 - sum(top boundary+1 values)/total.  top_k is far cheaper
-        # than a full sort on TPU.
-        top = jax.lax.top_k(power, int(boundary) + 1)[0]
-        total = jnp.sum(power)
-        return 10.0 * jnp.log10((total - jnp.sum(top)) / total)
+    if n_bands == 0:
+        # fs < 12 kHz has no coarse bands (GetNumberOfAperiodicities —
+        # src/d4c.cpp:268-272); the output keeps only the two edges.
+        return jnp.zeros((0,), dtype)
 
-    return jax.vmap(one_band)(jnp.arange(n_bands))
+    # Band centers depend only on static parameters, so the segment
+    # extraction is a STATIC slice per band (a traced dynamic_slice here
+    # cost ~4 ms/batch of per-lane slicing on TPU).  Python float is
+    # IEEE double, so int(3000.0*(b+1)*fft/fs) reproduces the C++
+    # static_cast<int> exactly (src/d4c.cpp:207-208) — unlike the
+    # float32 traced division it replaces.
+    segs = []
+    for band in range(n_bands):
+        center = int(config.K_FREQUENCY_INTERVAL * (band + 1)
+                     * fft_size / fs_static)
+        segs.append(static_group_delay[center - half_window:
+                                       center + half_window + 1])
+    seg = jnp.stack(segs) * window[None, :]
+    spec = jnp.fft.rfft(seg, n=fft_size)
+    power = spec.real**2 + spec.imag**2
+    # The reference sorts and reads the cumulative tail
+    # (src/d4c.cpp:217-222): cum[half-boundary-1]/cum[half] ==
+    # 1 - sum(top boundary+1 values)/total.  Only the SUM of the
+    # tail is needed, so a values-only jnp.sort beats top_k, whose
+    # TPU lowering is a (values, iota) tuple sort carrying twice
+    # the bytes for indices nothing reads.
+    top = jnp.sort(power, axis=-1)[:, half - int(boundary):]
+    total = jnp.sum(power, axis=-1)
+    return 10.0 * jnp.log10((total - jnp.sum(top, axis=-1)) / total)
 
 
-def _d4c_body_frame(x, fs_t, fft_size_d4c, n_bands, window, window_length,
-                    f0_cap, b_max, f0, position, dithers):
-    """One frame of D4CGeneralBody (src/d4c.cpp:293-321): coarse
-    aperiodicity values per band, before the frequency-axis interp."""
+def _d4c_body_chunk(x, fs_t, fs_static, fft_size_d4c, n_bands, window,
+                    window_length, f0_cap, b_max, f0s, positions, dithers):
+    """A chunk of D4CGeneralBody frames (src/d4c.cpp:293-321): coarse
+    aperiodicity values per band, before the frequency-axis interp.
+
+    Chunk-level (not per-frame) so the two DC corrections can run as ONE
+    batched fast-path call in float32: per-frame they were arbitrary
+    gathers (~9.5 ms/batch of the D4C stage); see
+    common.dc_correction_batched.  float64 keeps the per-frame interp1Q
+    arithmetic for golden parity."""
     dtype = x.dtype
-    half = fft_size_d4c // 2
     # Smoothing widths are f0 and f0/2; the static cap bounds the
     # windowed-sum temporaries and is sized from the caller's f0_ceil
     # (default 1200 Hz covers kCeilF0*1.1 — see cheaptrick.f0_cap_for).
-    f0 = jnp.minimum(f0, f0_cap)
+    f0s = jnp.minimum(f0s, f0_cap)
 
-    c1 = _centroid(x, fs_t, fft_size_d4c, f0, position - 0.25 / f0,
-                   dithers[0])
-    c2 = _centroid(x, fs_t, fft_size_d4c, f0, position + 0.25 / f0,
-                   dithers[1])
-    static_centroid = common.dc_correction(c1 + c2, f0, fs_t, fft_size_d4c,
-                                           b_cap=b_max + 2)
+    def part1(f0, position, dithers):
+        c1 = _centroid(x, fs_t, fft_size_d4c, f0, position - 0.25 / f0,
+                       dithers[0])
+        c2 = _centroid(x, fs_t, fft_size_d4c, f0, position + 0.25 / f0,
+                       dithers[1])
+        waveform, _ = _windowed_waveform(x, fs_t, f0, position, HANNING,
+                                         4.0, fft_size_d4c, dithers[2])
+        spec = jnp.fft.rfft(waveform)
+        return c1 + c2, spec.real**2 + spec.imag**2
 
-    waveform, _ = _windowed_waveform(x, fs_t, f0, position, HANNING, 4.0,
-                                     fft_size_d4c, dithers[2])
-    spec = jnp.fft.rfft(waveform)
-    smoothed = spec.real**2 + spec.imag**2
-    smoothed = common.dc_correction(smoothed, f0, fs_t, fft_size_d4c,
-                                    b_cap=b_max + 2)
-    smoothed = common.linear_smoothing(smoothed, f0, fs_t, fft_size_d4c,
-                                       b_max)
+    centroid_raw, power_raw = jax.vmap(part1)(f0s, positions, dithers)
 
-    # Guard the division for float32: the smoothed power of a silent
-    # window can underflow to 0 (float64 never gets near tiny).
-    smoothed = jnp.maximum(smoothed, jnp.finfo(dtype).tiny * 1e8)
-    sgd = static_centroid / smoothed
-    sgd = common.linear_smoothing(sgd, f0 / 2.0, fs_t, fft_size_d4c, b_max)
-    sgd = sgd - common.linear_smoothing(sgd, f0, fs_t, fft_size_d4c, b_max)
+    if dtype == jnp.float64:
+        dc = jax.vmap(lambda s, f: common.dc_correction(
+            s, f, fs_t, fft_size_d4c, b_cap=b_max + 2))
+        static_centroid = dc(centroid_raw, f0s)
+        smoothed = dc(power_raw, f0s)
+    else:
+        fc = f0s.shape[0]
+        both = common.dc_correction_batched(
+            jnp.concatenate([centroid_raw, power_raw], axis=0),
+            jnp.concatenate([f0s, f0s]), fs_t, fft_size_d4c,
+            b_cap=b_max + 2)
+        static_centroid, smoothed = both[:fc], both[fc:]
 
-    coarse = _coarse_aperiodicity(sgd, fs_t, fft_size_d4c, n_bands, window,
-                                  window_length, dtype)
-    return jnp.minimum(0.0, coarse + (f0 - 100.0) / 50.0)
+    def part2(static_centroid, smoothed, f0):
+        smoothed = common.linear_smoothing(smoothed, f0, fs_t,
+                                           fft_size_d4c, b_max)
+        # Guard the division for float32: the smoothed power of a
+        # silent window can underflow to 0 (float64 never gets tiny).
+        smoothed = jnp.maximum(smoothed, jnp.finfo(dtype).tiny * 1e8)
+        sgd = static_centroid / smoothed
+        sgd = common.linear_smoothing(sgd, f0 / 2.0, fs_t, fft_size_d4c,
+                                      b_max)
+        sgd = sgd - common.linear_smoothing(sgd, f0, fs_t, fft_size_d4c,
+                                            b_max)
+        coarse = _coarse_aperiodicity(sgd, fs_static, fft_size_d4c,
+                                      n_bands, window, window_length,
+                                      dtype)
+        return jnp.minimum(0.0, coarse + (f0 - 100.0) / 50.0)
+
+    return jax.vmap(part2)(static_centroid, smoothed, f0s)
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "fft_size", "threshold",
@@ -224,10 +257,10 @@ def _d4c_impl(x, temporal_positions, f0, fs_t, *, fs, fft_size, threshold,
     def body_fn(carry):
         i, acc = carry
         idxs = jax.lax.dynamic_slice(order_p, (i * fc,), (fc,))
-        cc = jax.vmap(lambda f, p, d: _d4c_body_frame(
-            x, fs_t, fft_d4c, n_bands, window, window_length,
-            jnp.asarray(f0_cap, dtype), b_max, f, p, d))(
-                f0_body[idxs], temporal_positions[idxs], dither_full[idxs])
+        cc = _d4c_body_chunk(
+            x, fs_t, fs, fft_d4c, n_bands, window, window_length,
+            jnp.asarray(f0_cap, dtype), b_max,
+            f0_body[idxs], temporal_positions[idxs], dither_full[idxs])
         return i + 1, jax.lax.dynamic_update_slice(acc, cc, (i * fc, 0))
 
     acc0 = jnp.zeros((n_frames + f_pad, n_bands), dtype)

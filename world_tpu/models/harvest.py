@@ -260,42 +260,64 @@ def _refine_pair(y, fs_t, fft_size, max_len, position, f0, f0_floor,
     return jnp.where(ok, refined, 0.0), jnp.where(ok, score, 0.0)
 
 
-def _refine_frame_direct(seg, tmp, fs_t, hw_max, f0, f0_floor, f0_ceil):
+def _refine_frame_direct(seg_p, seg_m, tmp_p, tmp_m, fs_t, hw_max, f0,
+                         f0_floor, f0_ceil):
     """GetRefinedF0 for one candidate on a FRAME-CENTERED grid,
     computing only the <=6 harmonic DFT bins directly.
 
     The FFT path reads just bins round(h*f0*fft/fs) of each spectrum, so
     the f32/TPU path evaluates those bins as windowed cos/sin dots: no
     FFT, no per-fft-size bucketing (which re-ran every pair at every
-    bucket).  ``seg``/``tmp`` are shared by all candidates of the frame
-    (one waveform slice per FRAME instead of per pair — the per-pair
-    gather was ~90% of Harvest's TPU time).  On the centered grid
-    j in [-hw_max, hw_max] the spectra pick up a common phase factor
-    e^{-i omega hw} which cancels in |M|^2 and in Im(conj(M) D), so the
-    instantaneous-frequency math is unchanged.  Float64 keeps the FFT
-    path for golden parity; this path is ~0.005 cents off."""
-    dtype = seg.dtype
-    j = jnp.arange(-hw_max, hw_max + 1)
+    bucket).  On the centered grid j in [-hw_max, hw_max] the spectra
+    pick up a common phase factor e^{-i omega hw} which cancels in
+    |M|^2 and in Im(conj(M) D), so the instantaneous-frequency math is
+    unchanged, and the phase omega*j is odd-symmetric: cos even / sin
+    odd, so every dot folds onto j in [0, hw_max] —
+      sum_j cos(w j) x_j = sum_{j>=0} cos(w j) (x_j + [j>0] x_{-j})
+      sum_j sin(w j) x_j = sum_{j>0}  sin(w j) (x_j - x_{-j})
+    — halving the transcendental count and reduction width.
+
+    Inputs are the frame-shared waveform slice and window time base
+    PRE-SPLIT into the plus half (index j in [0, hw_max]) and the
+    REVERSED minus half (index m maps to j = -m): the reversal happens
+    once per frame in _refine_all instead of per candidate here, so the
+    whole per-candidate chain (windows, folds, phase dots) stays one
+    XLA fusion with no HBM round-trips (a per-candidate rev forced
+    ~80 MB/chunk of intermediates to materialize).  Float64 keeps the
+    FFT path for golden parity; this path is ~0.005 cents off."""
+    dtype = seg_p.dtype
+    m_idx = jnp.arange(hw_max + 1)
     hw = (1.5 * fs_t / f0 + 1.0).astype(jnp.int32)
     win_len = 2 * hw + 1
     wlt = win_len.astype(dtype) / fs_t
-    in_win = jnp.abs(j) <= hw
+    in_win = m_idx <= hw
 
-    arg = 2.0 * config.K_PI * tmp / wlt
-    c2 = jnp.cos(arg)
-    # cos(2a) = 2cos^2(a)-1 halves the transcendental count.
-    main_window = 0.42 + 0.5 * c2 + 0.08 * (2.0 * c2 * c2 - 1.0)
-    main_window = jnp.where(in_win, main_window, 0.0)
-    nxt = jnp.roll(main_window, -1)
-    prv = jnp.roll(main_window, 1)
-    diff_window = -(nxt - prv) / 2.0
-    diff_window = jnp.where(j == -hw, -nxt / 2.0, diff_window)
-    diff_window = jnp.where(j == hw, prv / 2.0, diff_window)
-    diff_window = jnp.where(in_win, diff_window, 0.0)
+    def main_window(tmp):
+        c2 = jnp.cos(2.0 * config.K_PI * tmp / wlt)
+        # cos(2a) = 2cos^2(a)-1 halves the transcendental count.
+        w = 0.42 + 0.5 * c2 + 0.08 * (2.0 * c2 * c2 - 1.0)
+        return jnp.where(in_win, w, 0.0)
 
-    seg = jnp.where(in_win, seg, 0.0)
-    xm = seg * main_window
-    xd = seg * diff_window
+    w_p = main_window(tmp_p)        # j = 0..hw_max
+    w_m = main_window(tmp_m)        # j = 0..-hw_max (reversed)
+
+    # DiffWindow -(w[j+1]-w[j-1])/2 with one-sided edges at j=+-hw:
+    # the masked-zero w beyond hw makes the interior formula produce
+    # the edge values automatically; only the j=0 neighbors cross
+    # between the halves.
+    z1 = jnp.zeros(1, dtype)
+    nxt_p = jnp.concatenate([w_p[1:], z1])          # w(j+1)
+    prv_p = jnp.concatenate([w_m[1:2], w_p[:-1]])   # w(j-1); w(-1)=w_m[1]
+    dw_p = jnp.where(in_win, -(nxt_p - prv_p) / 2.0, 0.0)
+    nxt_m = jnp.concatenate([w_p[1:2], w_m[:-1]])   # w(-m+1); w(1)=w_p[1]
+    prv_m = jnp.concatenate([w_m[1:], z1])          # w(-m-1)
+    dw_m = jnp.where(in_win, -(nxt_m - prv_m) / 2.0, 0.0)
+
+    nonzero_m = m_idx > 0
+    xm_e = seg_p * w_p + jnp.where(nonzero_m, seg_m * w_m, 0.0)
+    xm_o = seg_p * w_p - jnp.where(nonzero_m, seg_m * w_m, 0.0)
+    xd_e = seg_p * dw_p + jnp.where(nonzero_m, seg_m * dw_m, 0.0)
+    xd_o = seg_p * dw_p - jnp.where(nonzero_m, seg_m * dw_m, 0.0)
 
     fft_size = jnp.exp2(2.0 + jnp.floor(
         jnp.log(win_len.astype(dtype)) / config.K_LOG2)).astype(dtype)
@@ -305,20 +327,7 @@ def _refine_frame_direct(seg, tmp, fs_t, hw_max, f0, f0_floor, f0_ceil):
     index = matlab_round(f0 * fft_size / fs_t * harm)
     index = jnp.clip(index, 0, (fft_size / 2).astype(jnp.int32))
 
-    # On the centered grid the DFT phase omega*j is odd-symmetric, so
-    # cos is even and sin odd in j: folding the windowed segments into
-    # even/odd halves (j in [0, hw_max]) halves both the transcendental
-    # count and the reduction width of all four dots exactly.
-    #   sum_j cos(w j) x_j = sum_{j>=0} cos(w j) (x_j + [j>0] x_{-j})
-    #   sum_j sin(w j) x_j = sum_{j>0}  sin(w j) (x_j - x_{-j})
-    def fold(v):
-        mirror = jnp.concatenate([jnp.zeros(1, dtype),
-                                  v[hw_max - 1::-1]])
-        return v[hw_max:] + mirror, v[hw_max:] - mirror
-
-    xm_e, xm_o = fold(xm)
-    xd_e, xd_o = fold(xd)
-    jhalf = jnp.arange(hw_max + 1, dtype=dtype)
+    jhalf = m_idx.astype(dtype)
     omega = (2.0 * config.K_PI / fft_size) * index.astype(dtype)
     phase = omega[:, None] * jhalf[None, :]
     c = jnp.cos(phase)
@@ -420,13 +429,17 @@ def _refine_all(y, fs_t, positions, cands, f0_floor, f0_ceil, sizes,
         last_valid = jnp.max(jnp.where(~invalid,
                                        jnp.arange(n_slots)[None, :], -1))
 
-        # Frame-shared segments and window time bases, computed once.
+        # Frame-shared segments and window time bases, computed once and
+        # pre-split into plus/reversed-minus halves (the per-candidate
+        # fold then needs no rev — see _refine_frame_direct).
         c0 = matlab_round(positions * fs_t + 0.001)
         segs = jax.vmap(
             lambda c: common.window_slice(y, c - hw_max - 1, W))(c0)
         jj = jnp.arange(-hw_max, hw_max + 1)
         tmps = ((c0[:, None] + jj[None, :]).astype(y.dtype) - 1.0) / fs_t \
             - positions[:, None]
+        segs_p, segs_m = segs[:, hw_max:], segs[:, hw_max::-1]
+        tmps_p, tmps_m = tmps[:, hw_max:], tmps[:, hw_max::-1]
 
         sc = 4
         s_pad = (-n_slots) % sc
@@ -438,10 +451,11 @@ def _refine_all(y, fs_t, positions, cands, f0_floor, f0_ceil, sizes,
             i, r_acc, s_acc = carry
             fchunk = jax.lax.dynamic_slice(
                 f0_filled, (0, i * sc), (n_frames, sc))
-            r, sco = jax.vmap(lambda seg, tmp, frow: jax.vmap(
+            r, sco = jax.vmap(lambda sp, sm, tp, tm, frow: jax.vmap(
                 lambda ff: _refine_frame_direct(
-                    seg, tmp, fs_t, hw_max, ff, f0_floor, f0_ceil))(frow)
-            )(segs, tmps, fchunk)
+                    sp, sm, tp, tm, fs_t, hw_max, ff, f0_floor, f0_ceil))(
+                        frow)
+            )(segs_p, segs_m, tmps_p, tmps_m, fchunk)
             r_acc = jax.lax.dynamic_update_slice(r_acc, r, (0, i * sc))
             s_acc = jax.lax.dynamic_update_slice(s_acc, sco, (0, i * sc))
             return i + 1, r_acc, s_acc

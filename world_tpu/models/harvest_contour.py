@@ -142,10 +142,6 @@ def _fix_step3(step2, cands, scores, cap, allowed_range=0.18):
     sec_valid = jnp.arange(cap) < n_sec
     j = jnp.arange(n_frames)
 
-    # Per-section masked copy of its voiced run.
-    in_sec = (j[None, :] >= st[:, None]) & (j[None, :] <= ed[:, None])
-    multi = jnp.where(in_sec & sec_valid[:, None], step2[None, :], 0.0)
-
     # Extend every section both ways (threshold 100 frames).  Walk
     # windows are contiguous, so each direction's 101 candidate rows are
     # one dynamic_slice of a zero-padded copy (per-lane starts into a
@@ -170,11 +166,41 @@ def _fix_step3(step2, cands, scores, cap, allowed_range=0.18):
         row = row + _place(vals_l, s, -1, n_frames)
         return row, new_s, new_e
 
+    # Chunk the extension over the REAL section count: valid sections
+    # occupy the ascending prefix of st/ed (BIG beyond), so an 8-lane
+    # while_loop stops once every real section is extended instead of
+    # paying the fixed capacity.  The walk scans and _place's per-lane
+    # placement gather were each full-capacity vmaps (the two placement
+    # gathers alone were ~24 ms of device time at cap~100 when only a
+    # handful of sections exist).
     st_c = jnp.clip(st, 0, n_frames - 1)
     ed_c = jnp.clip(ed, 0, n_frames - 1)
-    multi, new_st, new_ed = jax.vmap(extend_k)(multi, st_c, ed_c)
-    new_st = jnp.where(sec_valid, new_st, BIG)
-    new_ed = jnp.where(sec_valid, new_ed, BIG)
+    ec = 8
+    epad = (-cap) % ec
+    st_p = jnp.concatenate([st_c, jnp.zeros(epad, st_c.dtype)])
+    ed_p = jnp.concatenate([ed_c, jnp.zeros(epad, ed_c.dtype)])
+    ext_needed = (jnp.maximum(n_sec, 1) + ec - 1) // ec
+
+    def ext_body(carry):
+        i, m_acc, s_acc, e_acc = carry
+        st_ch = jax.lax.dynamic_slice(st_p, (i * ec,), (ec,))
+        ed_ch = jax.lax.dynamic_slice(ed_p, (i * ec,), (ec,))
+        in_ch = (j[None, :] >= st_ch[:, None]) & (j[None, :] <= ed_ch[:, None])
+        m_ch = jnp.where(in_ch, step2[None, :], 0.0)
+        m_ch, s_ch, e_ch = jax.vmap(extend_k)(m_ch, st_ch, ed_ch)
+        return (i + 1,
+                jax.lax.dynamic_update_slice(m_acc, m_ch, (i * ec, 0)),
+                jax.lax.dynamic_update_slice(s_acc, s_ch, (i * ec,)),
+                jax.lax.dynamic_update_slice(e_acc, e_ch, (i * ec,)))
+
+    _, multi, new_st, new_ed = jax.lax.while_loop(
+        lambda c: c[0] < ext_needed, ext_body,
+        (0, jnp.zeros((cap + epad, n_frames), step2.dtype),
+         jnp.zeros(cap + epad, st_c.dtype),
+         jnp.zeros(cap + epad, ed_c.dtype)))
+    multi = multi[:cap]
+    new_st = jnp.where(sec_valid, new_st[:cap], BIG)
+    new_ed = jnp.where(sec_valid, new_ed[:cap], BIG)
     multi = jnp.where(sec_valid[:, None], multi, 0.0)
 
     # ExtendSub: keep sections with 2200/mean < length; the mean carries

@@ -93,6 +93,46 @@ def dc_correction(spectrum, f0, fs, fft_size, b_cap=None):
     return jnp.where(mask, spectrum + replica, spectrum)
 
 
+def dc_correction_batched(spectra, f0s, fs, fft_size, b_cap):
+    """Batched float32 fast path of dc_correction over (B, nbins) rows.
+
+    The interp1Q queries k*delta on the descending axis starting at f0
+    all share one fractional part: with fb = f0*fft_size/fs, i0 =
+    trunc(fb), frac = fb - i0, the replica is
+        replica[k] = S[i0-k] + (S[i0-k+1] - S[i0-k]) * frac,
+    i.e. a REVERSED CONTIGUOUS window of S ending at i0+1.  Per-frame
+    that window is an arbitrary gather (the slow primitive — ~2.4 ms
+    per call at D4C's sizes); batched, it is one vmapped dynamic_slice
+    with per-lane starts into the SHARED flattened batch (the fast
+    path).  Bins k > i0 are masked to the input, exactly like
+    dc_correction's upper_limit mask, so the zero padding read below
+    bin 0 never reaches the output.  float64 callers keep dc_correction
+    (bit-identical interp1Q arithmetic order for golden parity).
+    """
+    B, nbins = spectra.shape
+    dtype = spectra.dtype
+    n_rep = min(b_cap, nbins)
+    # Same arithmetic as interp1q's t at k=0: delta = fs/fft_size, then
+    # f0/delta (one rounding each, matching (0*delta - f0)/(-delta)).
+    fb = f0s / (fs / jnp.asarray(fft_size, dtype))
+    i0 = jnp.trunc(fb).astype(jnp.int32)
+    frac = fb - i0.astype(dtype)
+    stride = nbins + n_rep
+    sp = jnp.concatenate(
+        [jnp.zeros((B, n_rep), dtype), spectra], axis=1).reshape(-1)
+    starts = jnp.arange(B) * stride + (i0 + 1)  # = idx of S[i0-(n_rep-1)]
+    win = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(sp, (s,), (n_rep + 1,)))(starts)
+    y0 = win[:, n_rep - 1::-1]          # S[i0-k], k = 0..n_rep-1
+    y1 = win[:, n_rep:0:-1]             # S[i0-k+1]
+    replica = y0 + (y1 - y0) * frac[:, None]
+    if n_rep < nbins:
+        replica = jnp.concatenate(
+            [replica, jnp.zeros((B, nbins - n_rep), dtype)], axis=1)
+    mask = jnp.arange(nbins)[None, :] < (i0 + 1)[:, None]
+    return jnp.where(mask, spectra + replica, spectra)
+
+
 def _mirror_extend(spectrum, half, b_max):
     """Spectrum on positions p = -b_max .. half+b_max by edge reflection
     (reference src/common.cpp:27-46).  mirror(p) = S[|p|] for p<=0 (no repeat

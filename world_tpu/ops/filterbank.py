@@ -9,9 +9,33 @@ and at i = n/2 it clobbers bin n/2-1 with the (already corrupt) Nyquist
 product.  With low-pass bands these bins are ~0, but we match exactly.
 """
 
+import jax
 import jax.numpy as jnp
 
 from .fftpack import irfft_unnormalized
+
+
+def _shifted_irfft(prod, fft_size, index_bias, y_length, dtype):
+    """irfft then circular left-shift by ``index_bias`` (the filter's
+    group delay), truncated to y_length.
+
+    float64 golden path: materialize + jnp.roll (two contiguous slices;
+    bit-matches the reference's index arithmetic).  float32 TPU path:
+    fold the shift into the spectrum as the phase ramp e^{+2i pi k b/n}
+    — it fuses into the convolution product, deleting a full
+    read+write pass of the time signal per channel (~6 ms/batch across
+    the filterbank).  The angle is reduced by INTEGER mod before the
+    trig so float32 stays exact for any k*b; Hermitian symmetry is
+    preserved because the Nyquist multiplier e^{i pi b} is real.
+    """
+    if dtype == jnp.float64:
+        sig = irfft_unnormalized(prod, fft_size)
+        return jnp.roll(sig, -index_bias)[: y_length]
+    k = jnp.arange(fft_size // 2 + 1)
+    m = (k * index_bias) % fft_size
+    theta = (2.0 * jnp.pi / fft_size) * m.astype(dtype)
+    phase = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+    return irfft_unnormalized(prod * phase, fft_size)[: y_length]
 
 
 def _convolve_with_quirk(y_spectrum, filter_spectrum, fft_size):
@@ -35,11 +59,8 @@ def filtered_signal_dio(half_average_length, fft_size, y_spectrum, y_length,
     lpf = nuttall_window_masked(half_average_length * 4, fft_size, dtype)
     lpf_spectrum = jnp.fft.rfft(lpf)
     prod = _convolve_with_quirk(y_spectrum, lpf_spectrum, fft_size)
-    sig = irfft_unnormalized(prod, fft_size)
-    # Group-delay compensation is a circular shift: roll lowers to two
-    # dynamic slices, vs. a general (slow) gather for modular take.
-    index_bias = half_average_length * 2
-    return jnp.roll(sig, -index_bias)[: y_length]
+    return _shifted_irfft(prod, fft_size, half_average_length * 2,
+                          y_length, dtype)
 
 
 def filtered_signal_harvest(boundary_f0, fft_size, fs, y_spectrum, y_length,
@@ -56,6 +77,5 @@ def filtered_signal_harvest(boundary_f0, fft_size, fs, y_spectrum, y_length,
     bpf = jnp.where(jnp.arange(fft_size) < n, bpf, 0.0)
     bpf_spectrum = jnp.fft.rfft(bpf)
     prod = _convolve_with_quirk(y_spectrum, bpf_spectrum, fft_size)
-    sig = irfft_unnormalized(prod, fft_size)
-    index_bias = filter_length_half + 1
-    return jnp.roll(sig, -index_bias)[: y_length]
+    return _shifted_irfft(prod, fft_size, filter_length_half + 1,
+                          y_length, dtype)
