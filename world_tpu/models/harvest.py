@@ -327,18 +327,54 @@ def _refine_frame_direct(seg_p, seg_m, tmp_p, tmp_m, fs_t, hw_max, f0,
     index = matlab_round(f0 * fft_size / fs_t * harm)
     index = jnp.clip(index, 0, (fft_size / 2).astype(jnp.int32))
 
-    jhalf = m_idx.astype(dtype)
     omega = (2.0 * config.K_PI / fft_size) * index.astype(dtype)
-    phase = omega[:, None] * jhalf[None, :]
-    c = jnp.cos(phase)
-    s = jnp.sin(phase)
-    # Explicit multiply-reduce instead of (6, W) @ (W,) dots: XLA fuses
-    # the cos/sin producers into the reduction, so the per-pair phase
-    # matrices never materialize in HBM (they dominated refine's cost).
-    main_re = jnp.sum(c * xm_e, axis=-1)
-    main_im = -jnp.sum(s * xm_o, axis=-1)
-    diff_re = jnp.sum(c * xd_e, axis=-1)
-    diff_im = -jnp.sum(s * xd_o, axis=-1)
+    # Radix-B factorization of the 6-bin DFT dots (j = q*B + r):
+    #   cos(w j) = cos(wBq) cos(wr) - sin(wBq) sin(wr)
+    # so sum_j trig(w j) x_j collapses to per-block partial dots of x
+    # against small (6, B) r-tables followed by a (6, Q) combine with
+    # the q-tables.  Only TWO transcendentals per harmonic (cos w,
+    # sin w) instead of 2*(hw_max+1); the tables grow by unrolled
+    # angle addition, whose f32 chain error (~1e-5) is BELOW the
+    # argument-rounding error of direct f32 cos(w*j) at j ~ 200
+    # (~3e-5).  All stays one XLA fusion: nothing of size (6, W)
+    # materializes.
+    B = 16
+    W = hw_max + 1
+    Q = -(-W // B)
+    cb = jnp.cos(omega)
+    sb = jnp.sin(omega)
+    crl, srl = [jnp.ones_like(cb)], [jnp.zeros_like(sb)]
+    for _ in range(B - 1):
+        crl.append(crl[-1] * cb - srl[-1] * sb)
+        srl.append(srl[-1] * cb + crl[-2] * sb)
+    cr = jnp.stack(crl, -1)               # (6, B): cos(w r)
+    sr = jnp.stack(srl, -1)
+    cB, sB = cb, sb
+    for _ in range(4):                    # B = 2**4 doublings -> trig(wB)
+        cB, sB = cB * cB - sB * sB, 2.0 * sB * cB
+    cql, sql = [jnp.ones_like(cb)], [jnp.zeros_like(sb)]
+    for _ in range(Q - 1):
+        cql.append(cql[-1] * cB - sql[-1] * sB)
+        sql.append(sql[-1] * cB + cql[-2] * sB)
+    cq = jnp.stack(cql, -1)               # (6, Q): cos(w B q)
+    sq = jnp.stack(sql, -1)
+
+    zpad = jnp.zeros(Q * B - W, dtype)
+
+    def _partials(x):
+        xr = jnp.concatenate([x, zpad]).reshape(Q, B)
+        pc = jnp.sum(cr[:, None, :] * xr[None, :, :], axis=-1)  # (6, Q)
+        ps = jnp.sum(sr[:, None, :] * xr[None, :, :], axis=-1)
+        return pc, ps
+
+    pc, ps = _partials(xm_e)
+    main_re = jnp.sum(cq * pc - sq * ps, axis=-1)
+    pc, ps = _partials(xm_o)
+    main_im = -jnp.sum(sq * pc + cq * ps, axis=-1)
+    pc, ps = _partials(xd_e)
+    diff_re = jnp.sum(cq * pc - sq * ps, axis=-1)
+    pc, ps = _partials(xd_o)
+    diff_im = -jnp.sum(sq * pc + cq * ps, axis=-1)
     power = main_re**2 + main_im**2
     numer = main_re * diff_im - main_im * diff_re
 
