@@ -260,7 +260,7 @@ def _refine_pair(y, fs_t, fft_size, max_len, position, f0, f0_floor,
     return jnp.where(ok, refined, 0.0), jnp.where(ok, score, 0.0)
 
 
-def _refine_frame_direct(seg_p, seg_m, tmp_p, tmp_m, fs_t, hw_max, f0,
+def _refine_frame_direct(seg_p, seg_m, c0f, posf, fs_t, hw_max, f0,
                          f0_floor, f0_ceil):
     """GetRefinedF0 for one candidate on a FRAME-CENTERED grid,
     computing only the <=6 harmonic DFT bins directly.
@@ -277,16 +277,23 @@ def _refine_frame_direct(seg_p, seg_m, tmp_p, tmp_m, fs_t, hw_max, f0,
       sum_j sin(w j) x_j = sum_{j>0}  sin(w j) (x_j - x_{-j})
     — halving the transcendental count and reduction width.
 
-    Inputs are the frame-shared waveform slice and window time base
-    PRE-SPLIT into the plus half (index j in [0, hw_max]) and the
-    REVERSED minus half (index m maps to j = -m): the reversal happens
-    once per frame in _refine_all instead of per candidate here, so the
-    whole per-candidate chain (windows, folds, phase dots) stays one
-    XLA fusion with no HBM round-trips (a per-candidate rev forced
-    ~80 MB/chunk of intermediates to materialize).  Float64 keeps the
-    FFT path for golden parity; this path is ~0.005 cents off."""
+    Inputs are the frame-shared waveform slice PRE-SPLIT into the plus
+    half (index j in [0, hw_max]) and the REVERSED minus half (index m
+    maps to j = -m): the reversal happens once per frame in _refine_all
+    instead of per candidate here, so the whole per-candidate chain
+    (windows, folds, phase dots) stays one XLA fusion with no HBM
+    round-trips (a per-candidate rev forced ~80 MB/chunk of
+    intermediates to materialize).  The window time bases are rebuilt
+    here from the two per-frame scalars (rounded center c0f, frame
+    position posf) — bit-identical to the former precomputed (F, W)
+    arrays but ~2x less HBM streamed per slot-chunk iteration.  Float64
+    keeps the FFT path for golden parity; this path is ~0.005 cents
+    off."""
     dtype = seg_p.dtype
     m_idx = jnp.arange(hw_max + 1)
+    m_f = m_idx.astype(dtype)
+    tmp_p = (c0f + m_f - 1.0) / fs_t - posf
+    tmp_m = (c0f - m_f - 1.0) / fs_t - posf
     hw = (1.5 * fs_t / f0 + 1.0).astype(jnp.int32)
     win_len = 2 * hw + 1
     wlt = win_len.astype(dtype) / fs_t
@@ -465,17 +472,14 @@ def _refine_all(y, fs_t, positions, cands, f0_floor, f0_ceil, sizes,
         last_valid = jnp.max(jnp.where(~invalid,
                                        jnp.arange(n_slots)[None, :], -1))
 
-        # Frame-shared segments and window time bases, computed once and
-        # pre-split into plus/reversed-minus halves (the per-candidate
-        # fold then needs no rev — see _refine_frame_direct).
+        # Frame-shared segments, computed once and pre-split into
+        # plus/reversed-minus halves (the per-candidate fold then needs
+        # no rev — see _refine_frame_direct).  The window time bases are
+        # rebuilt inside the kernel from c0/positions scalars.
         c0 = matlab_round(positions * fs_t + 0.001)
         segs = jax.vmap(
             lambda c: common.window_slice(y, c - hw_max - 1, W))(c0)
-        jj = jnp.arange(-hw_max, hw_max + 1)
-        tmps = ((c0[:, None] + jj[None, :]).astype(y.dtype) - 1.0) / fs_t \
-            - positions[:, None]
         segs_p, segs_m = segs[:, hw_max:], segs[:, hw_max::-1]
-        tmps_p, tmps_m = tmps[:, hw_max:], tmps[:, hw_max::-1]
 
         sc = 4
         s_pad = (-n_slots) % sc
@@ -487,11 +491,11 @@ def _refine_all(y, fs_t, positions, cands, f0_floor, f0_ceil, sizes,
             i, r_acc, s_acc = carry
             fchunk = jax.lax.dynamic_slice(
                 f0_filled, (0, i * sc), (n_frames, sc))
-            r, sco = jax.vmap(lambda sp, sm, tp, tm, frow: jax.vmap(
+            r, sco = jax.vmap(lambda sp, sm, cf, pf, frow: jax.vmap(
                 lambda ff: _refine_frame_direct(
-                    sp, sm, tp, tm, fs_t, hw_max, ff, f0_floor, f0_ceil))(
+                    sp, sm, cf, pf, fs_t, hw_max, ff, f0_floor, f0_ceil))(
                         frow)
-            )(segs_p, segs_m, tmps_p, tmps_m, fchunk)
+            )(segs_p, segs_m, c0, positions, fchunk)
             r_acc = jax.lax.dynamic_update_slice(r_acc, r, (0, i * sc))
             s_acc = jax.lax.dynamic_update_slice(s_acc, sco, (0, i * sc))
             return i + 1, r_acc, s_acc
