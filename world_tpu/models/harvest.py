@@ -158,12 +158,15 @@ def _detect_official_candidates(raw, max_candidates):
     length = ch[:, None] - st_ch             # run length at end position
     mean = (csum_prev - st_csum) / jnp.maximum(length, 1).astype(raw.dtype)
     keep = ends & (length >= 10)
-    # Compact kept means into slots, order preserved: one stable sort
-    # of (channel-key, mean) pairs per frame.
+    # Compact kept means into slots, order preserved: one sort of
+    # (channel-key, mean) pairs per frame.  Unstable is bit-identical
+    # here — kept keys are distinct channel indices and every BIG-padded
+    # slot carries the same 0.0 payload — and drops the iota operand a
+    # stable TPU sort would carry (sorts are byte-rate bound).
     key = jnp.where(keep, ch[:, None], BIG)
     skey, smean = jax.lax.sort((jnp.broadcast_to(key, keep.shape).T,
                                 jnp.where(keep, mean, 0.0).T), num_keys=1,
-                               is_stable=True)
+                               is_stable=False)
     cands = jnp.where(skey[:, :max_candidates] < BIG,
                       smean[:, :max_candidates], 0.0)
     counts = jnp.sum(keep, axis=0)
