@@ -138,20 +138,78 @@ _DECIMATE_COEFFS[12] = (2.4981398605924205, -2.1368928194784025,
                         0.0063291827714127002)
 
 
+@functools.lru_cache(maxsize=None)
+def _decimate_block_tables(r, block):
+    """Block-IIR tables for _filter_for_decimate's float32 fast path.
+
+    State s_t = (w_t, w_{t-1}, w_{t-2}) follows s_t = A s_{t-1} + e x_t
+    and y_t = b0 x_t + c . s_{t-1}, so over a block of ``block`` samples
+        y = X K^T + S R^T,  s' = A^block s + P X
+    with K lower-triangular Toeplitz (K[j,i] = b0 on the diagonal,
+    c A^{j-1-i} e below), R[j] = c A^j, P[:,i] = A^{block-1-i} e.
+    Tables are built in float64 and cast at use."""
+    a = _DECIMATE_COEFFS[r, :3]
+    b0, b1 = _DECIMATE_COEFFS[r, 3:]
+    A = np.zeros((3, 3))
+    A[0] = a
+    A[1, 0] = 1.0
+    A[2, 1] = 1.0
+    c = b0 * a + np.array([b1, b1, b0])
+    powers = [np.eye(3)]
+    for _ in range(block):
+        powers.append(powers[-1] @ A)
+    k = np.array([c @ p[:, 0] for p in powers])       # k_m = c A^m e
+    K = np.zeros((block, block))
+    for j in range(block):
+        K[j, j] = b0
+        K[j, :j] = k[j - 1 :: -1] if j else []
+    R = np.stack([c @ powers[j] for j in range(block)])
+    P = np.stack([powers[block - 1 - i][:, 0]
+                  for i in range(block)], axis=1)
+    return K, R, P, powers[block]
+
+
 def _filter_for_decimate(x, r):
     """3rd-order IIR (direct form II) used by decimate
-    (src/matlabfunctions.cpp:27-125).  Sequential scan over samples."""
-    a0, a1, a2, b0, b1 = (jnp.asarray(v, x.dtype) for v in _DECIMATE_COEFFS[r])
+    (src/matlabfunctions.cpp:27-125).
 
-    def step(w, xi):
-        w0, w1, w2 = w
-        wt = xi + a0 * w0 + a1 * w1 + a2 * w2
-        yi = b0 * wt + b1 * w0 + b1 * w1 + b0 * w2
-        return (wt, w0, w1), yi
+    float64 (golden path): sequential scan over samples, bit-matching
+    the reference's recurrence order.  float32 (TPU path): block form —
+    three dense matmuls plus a tiny per-block state scan; the ~17k-step
+    per-sample scan cost ~3 ms/batch on TPU while the matmuls are
+    noise.  Output differs from the sequential order only in fp
+    rounding (~1e-6 relative; the f0 gates are ~0.1 cents)."""
+    dtype = x.dtype
+    if dtype == jnp.float64:
+        a0, a1, a2, b0, b1 = (jnp.asarray(v, dtype)
+                              for v in _DECIMATE_COEFFS[r])
 
-    zero = jnp.zeros((), x.dtype)
-    _, y = jax.lax.scan(step, (zero, zero, zero), x)
-    return y
+        def step(w, xi):
+            w0, w1, w2 = w
+            wt = xi + a0 * w0 + a1 * w1 + a2 * w2
+            yi = b0 * wt + b1 * w0 + b1 * w1 + b0 * w2
+            return (wt, w0, w1), yi
+
+        zero = jnp.zeros((), dtype)
+        _, y = jax.lax.scan(step, (zero, zero, zero), x)
+        return y
+
+    block = 128
+    K, R, P, AL = (jnp.asarray(t, dtype)
+                   for t in _decimate_block_tables(r, block))
+    n = x.shape[0]
+    nblk = -(-n // block)
+    xb = jnp.concatenate(
+        [x, jnp.zeros(nblk * block - n, dtype)]).reshape(nblk, block)
+    y0 = xb @ K.T                                    # (nblk, block)
+    p = xb @ P.T                                     # (nblk, 3)
+
+    def step(s, pj):
+        return AL @ s + pj, s                        # emit block-start state
+
+    _, S = jax.lax.scan(step, jnp.zeros(3, dtype), p)
+    y = y0 + S @ R.T
+    return y.reshape(-1)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("r",))
