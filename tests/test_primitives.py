@@ -98,3 +98,43 @@ def test_randn_jump_matches_sequence(gold):
     ref = gold["randn_1024"]
     np.testing.assert_allclose(draws[0], ref[:24], atol=0)
     np.testing.assert_allclose(draws[1], ref[1000:1024], atol=0)
+
+
+def test_lti_block_filter_matches_scan():
+    """lti_block_filter == the per-sample recurrence for both LTI systems
+    we run in block form (decimate's 3rd-order DFII stage and the
+    contour-smoothing biquad), at awkward lengths spanning block edges."""
+    rs = np.random.default_rng(7)
+
+    def run_scan(M, e, c, d, x):
+        s = np.zeros(M.shape[0])
+        y = np.empty_like(x)
+        for t in range(len(x)):
+            y[t] = d * x[t] + c @ s
+            s = M @ s + e * x[t]
+        return y
+
+    from world_tpu.models.harvest_contour import _biquad_tables, _B, _A
+    from world_tpu.ops.matlab import lti_block_filter, lti_block_tables
+
+    M = np.array([[_A[0], _A[1], _B[1], _B[0]],
+                  [1.0, 0.0, 0.0, 0.0],
+                  [0.0, 0.0, 0.0, 0.0],
+                  [0.0, 0.0, 1.0, 0.0]])
+    e = np.array([_B[0], 0.0, 1.0, 0.0])
+    c = np.array([_A[0], _A[1], _B[1], _B[0]])
+    for n in (1, 127, 128, 129, 1000):
+        x = rs.standard_normal(n)
+        want = run_scan(M, e, c, _B[0], x)
+        got = np.asarray(lti_block_filter(
+            jnp.asarray(x), _biquad_tables(), jnp.float64))
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+
+    # 2D lanes: each lane filtered independently.
+    x2 = rs.standard_normal((300, 5))
+    tables = lti_block_tables(M, e, c, _B[0], 128)
+    got2 = np.asarray(lti_block_filter(jnp.asarray(x2), tables, jnp.float64))
+    for k in range(5):
+        np.testing.assert_allclose(
+            got2[:, k], run_scan(M, e, c, _B[0], x2[:, k]),
+            rtol=1e-12, atol=1e-14)

@@ -33,6 +33,26 @@ import jax.numpy as jnp
 BIG = jnp.iinfo(jnp.int32).max // 2
 LAG = 300  # smoothing pad (src/harvest.cpp:1090)
 
+# SmoothF0Contour biquad (src/harvest.cpp:1058-1059).
+_B = (0.0078202080334971724, 0.015640416066994345)
+_A = (1.7347257688092754, -0.76600660094326412)
+
+
+@functools.lru_cache(maxsize=None)
+def _biquad_tables(block=128):
+    """Block-LTI tables for the smoothing biquad's float32 path.
+    State s_t = (y_t, y_{t-1}, x_t, x_{t-1}):
+      y_t = b0 x_t + (a0, a1, b1, b0) . s_{t-1}."""
+    from ..ops.matlab import lti_block_tables
+    import numpy as np
+    M = np.array([[_A[0], _A[1], _B[1], _B[0]],
+                  [1.0, 0.0, 0.0, 0.0],
+                  [0.0, 0.0, 0.0, 0.0],
+                  [0.0, 0.0, 1.0, 0.0]])
+    e = np.array([_B[0], 0.0, 1.0, 0.0])
+    c = np.array([_A[0], _A[1], _B[1], _B[0]])
+    return lti_block_tables(M, e, c, _B[0], block)
+
 
 def _shift_right(x, k, fill=0.0):
     pad = jnp.full((k,) + x.shape[1:], fill, x.dtype)
@@ -308,8 +328,8 @@ def _smooth_contour(f0, cap):
     """Zero-phase 2nd-order smoothing per voiced section with 300-frame
     edge-hold padding (src/harvest.cpp:1049-1113)."""
     dtype = f0.dtype
-    b = jnp.asarray([0.0078202080334971724, 0.015640416066994345], dtype)
-    a = jnp.asarray([1.7347257688092754, -0.76600660094326412], dtype)
+    b = jnp.asarray(_B, dtype)
+    a = jnp.asarray(_A, dtype)
     n = f0.shape[0] + 2 * LAG
     contour = jnp.concatenate(
         [jnp.zeros(LAG, dtype), f0, jnp.zeros(LAG, dtype)])
@@ -333,14 +353,21 @@ def _smooth_contour(f0, cap):
     def biquad(seq):
         # y[t] = b0 x[t] + b1 x[t-1] + b0 x[t-2] + a0 y[t-1] + a1 y[t-2],
         # zero initial state, batched over the section lanes.
-        def step(carry, xt):
-            x1, x2, y1, y2 = carry
-            yt = b[0] * xt + b[1] * x1 + b[0] * x2 + a[0] * y1 + a[1] * y2
-            return (xt, x1, yt, y1), yt
+        if dtype == jnp.float64:
+            # Golden path: per-sample scan, reference recurrence order.
+            def step(carry, xt):
+                x1, x2, y1, y2 = carry
+                yt = (b[0] * xt + b[1] * x1 + b[0] * x2
+                      + a[0] * y1 + a[1] * y2)
+                return (xt, x1, yt, y1), yt
 
-        z = jnp.zeros(seq.shape[1:], dtype)
-        _, y = jax.lax.scan(step, (z, z, z, z), seq)
-        return y
+            z = jnp.zeros(seq.shape[1:], dtype)
+            _, y = jax.lax.scan(step, (z, z, z, z), seq)
+            return y
+        # TPU path: block LTI form (per-sample scans cost ~86 ns/step;
+        # fp differs from the scan only in summation order, ~1e-6 rel).
+        from ..ops.matlab import lti_block_filter
+        return lti_block_filter(seq, _biquad_tables(), dtype)
 
     y1 = biquad(x.T)[::-1]
     y2 = biquad(y1)[::-1].T  # (cap, n)

@@ -138,16 +138,59 @@ _DECIMATE_COEFFS[12] = (2.4981398605924205, -2.1368928194784025,
                         0.0063291827714127002)
 
 
+def lti_block_tables(M, e, c, d, block):
+    """Block-form tables for the causal LTI recurrence
+        s_t = M s_{t-1} + e x_t,   y_t = d x_t + c . s_{t-1}
+    (zero initial state).  Over a block of ``block`` samples
+        y = X K^T + S R^T,   s' = M^block s + P X
+    with K lower-triangular Toeplitz (K[j,j] = d, K[j,i] = c M^{j-1-i} e
+    below), R[j] = c M^j, P[:,i] = M^{block-1-i} e.  Built in float64
+    (cast at use); per-sample scans cost ~86 ns/step on TPU while these
+    dense forms are noise."""
+    M = np.asarray(M, np.float64)
+    e = np.asarray(e, np.float64)
+    c = np.asarray(c, np.float64)
+    powers = [np.eye(M.shape[0])]
+    for _ in range(block):
+        powers.append(powers[-1] @ M)
+    k = np.array([c @ p @ e for p in powers])
+    K = np.zeros((block, block))
+    for j in range(block):
+        K[j, j] = d
+        if j:
+            K[j, :j] = k[j - 1 :: -1]
+    R = np.stack([c @ powers[j] for j in range(block)])
+    P = np.stack([powers[block - 1 - i] @ e for i in range(block)], axis=1)
+    return K, R, P, powers[block]
+
+
+def lti_block_filter(x, tables, dtype):
+    """Apply the block-form LTI filter along the leading axis of ``x``
+    (any trailing lane axes; zero initial state)."""
+    K, R, P, AL = (jnp.asarray(t, dtype) for t in tables)
+    n = x.shape[0]
+    lanes = x.shape[1:]
+    block = K.shape[0]
+    nblk = -(-n // block)
+    xb = jnp.concatenate(
+        [x, jnp.zeros((nblk * block - n,) + lanes, dtype)]
+    ).reshape((nblk, block) + lanes)
+    y0 = jnp.einsum("jb,nb...->nj...", K, xb)
+    p = jnp.einsum("sb,nb...->ns...", P, xb)
+
+    def step(s, pj):
+        return jnp.tensordot(AL, s, axes=1) + pj, s   # emit pre-block state
+
+    _, S = jax.lax.scan(
+        step, jnp.zeros((AL.shape[0],) + lanes, dtype), p)
+    y = y0 + jnp.einsum("js,ns...->nj...", R, S)
+    return y.reshape((nblk * block,) + lanes)[:n]
+
+
 @functools.lru_cache(maxsize=None)
 def _decimate_block_tables(r, block):
-    """Block-IIR tables for _filter_for_decimate's float32 fast path.
-
-    State s_t = (w_t, w_{t-1}, w_{t-2}) follows s_t = A s_{t-1} + e x_t
-    and y_t = b0 x_t + c . s_{t-1}, so over a block of ``block`` samples
-        y = X K^T + S R^T,  s' = A^block s + P X
-    with K lower-triangular Toeplitz (K[j,i] = b0 on the diagonal,
-    c A^{j-1-i} e below), R[j] = c A^j, P[:,i] = A^{block-1-i} e.
-    Tables are built in float64 and cast at use."""
+    """lti_block_tables for decimate's 3rd-order direct-form-II stage:
+    s_t = (w_t, w_{t-1}, w_{t-2})."""
     a = _DECIMATE_COEFFS[r, :3]
     b0, b1 = _DECIMATE_COEFFS[r, 3:]
     A = np.zeros((3, 3))
@@ -155,18 +198,7 @@ def _decimate_block_tables(r, block):
     A[1, 0] = 1.0
     A[2, 1] = 1.0
     c = b0 * a + np.array([b1, b1, b0])
-    powers = [np.eye(3)]
-    for _ in range(block):
-        powers.append(powers[-1] @ A)
-    k = np.array([c @ p[:, 0] for p in powers])       # k_m = c A^m e
-    K = np.zeros((block, block))
-    for j in range(block):
-        K[j, j] = b0
-        K[j, :j] = k[j - 1 :: -1] if j else []
-    R = np.stack([c @ powers[j] for j in range(block)])
-    P = np.stack([powers[block - 1 - i][:, 0]
-                  for i in range(block)], axis=1)
-    return K, R, P, powers[block]
+    return lti_block_tables(A, np.array([1.0, 0.0, 0.0]), c, b0, block)
 
 
 def _filter_for_decimate(x, r):
@@ -194,22 +226,7 @@ def _filter_for_decimate(x, r):
         _, y = jax.lax.scan(step, (zero, zero, zero), x)
         return y
 
-    block = 128
-    K, R, P, AL = (jnp.asarray(t, dtype)
-                   for t in _decimate_block_tables(r, block))
-    n = x.shape[0]
-    nblk = -(-n // block)
-    xb = jnp.concatenate(
-        [x, jnp.zeros(nblk * block - n, dtype)]).reshape(nblk, block)
-    y0 = xb @ K.T                                    # (nblk, block)
-    p = xb @ P.T                                     # (nblk, 3)
-
-    def step(s, pj):
-        return AL @ s + pj, s                        # emit block-start state
-
-    _, S = jax.lax.scan(step, jnp.zeros(3, dtype), p)
-    y = y0 + S @ R.T
-    return y.reshape(-1)[:n]
+    return lti_block_filter(x, _decimate_block_tables(r, 128), dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("r",))
