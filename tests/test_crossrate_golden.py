@@ -1,11 +1,14 @@
-"""Stage-output parity against the C++ oracle at 16 kHz and 48 kHz.
+"""Stage-output parity against the C++ oracle at 8, 16 and 48 kHz.
 
 The primary golden set (tests/goldens) uses the reference's own
 vaiueo2d.wav fixture at 22050 Hz; these sets were dumped from the same
 reference build on deterministic synthetic vowels (see
-tests/test_multirate.synth_vowel, seed 3) written as 16-bit wavs, so
-fs-dependent derived sizes (fft sizes, decimation ratios, band counts)
-are exercised end-to-end against the oracle."""
+tests/test_multirate.synth_vowel, seed 3, 0.7 s) written as 16-bit
+wavs, so fs-dependent derived sizes (fft sizes, decimation ratios,
+band counts — incl. fs=8000's fft_size=512 and zero coarse ap bands)
+are exercised end-to-end against the oracle.  At fs=8000 the D4C ap
+comparison is behavioral, not golden: the reference's LoveTrain reads
+uninitialized memory there (see models/d4c.py)."""
 
 import os
 
@@ -33,7 +36,8 @@ def load(dirname):
     return data, scalars
 
 
-@pytest.mark.parametrize("dirname", ["goldens_fs16", "goldens_fs48"])
+@pytest.mark.parametrize("dirname",
+                         ["goldens_fs8", "goldens_fs16", "goldens_fs48"])
 def test_stage_parity(dirname):
     g, s = load(dirname)
     fs = s["fs"]
@@ -66,16 +70,31 @@ def test_stage_parity(dirname):
     assert rel.max() < 1e-2, rel.max()
 
     ap = np.asarray(world_tpu.d4c(x, fs, htp, jnp_ref(ref)))
-    assert np.abs(ap - g["d4c_ap"]).max() < 1e-5
-
-    y = np.asarray(world_tpu.synthesis(ref, sp, ap, fs, frame_period=5.0))
+    if fs >= 15800:
+        assert np.abs(ap - g["d4c_ap"]).max() < 1e-5
+        y = np.asarray(world_tpu.synthesis(ref, sp, ap, fs,
+                                           frame_period=5.0))
+    else:
+        # Below 15.8 kHz the reference's LoveTrain reads uninitialized
+        # memory past Nyquist (src/d4c.cpp:246-250) and its golden ap
+        # is garbage-driven (all-1 at fs=8000: every frame failed the
+        # VUV gate).  Our Nyquist-clamped bands pass voiced frames and
+        # produce real coarse aperiodicity instead (models/d4c.py).
+        assert np.all((ap > 0) & (ap <= 1.0))
+        voiced = ref > 0
+        assert ap[voiced].min() < 0.5  # real periodicity detected
+        # Synthesis itself is defined behavior: fed the golden sp/ap it
+        # must still reproduce the reference waveform.
+        y = np.asarray(world_tpu.synthesis(ref, g["cheaptrick_sp"],
+                                           g["d4c_ap"], fs,
+                                           frame_period=5.0))
     ref_y = g["synthesis_y"]
     n = min(len(y), len(ref_y))
     snr = 10 * np.log10(np.sum(ref_y[:n] ** 2)
                         / np.sum((ref_y[:n] - y[:n]) ** 2))
     # Essentially bit-exact since the negative-index OLA wrap fix
-    # (>220 dB when fed the golden sp/ap); synthesized here from OUR
-    # analysis outputs, whose float64-rounding differences leave
+    # (>220 dB when fed the golden sp/ap); at 16k/48k synthesized from
+    # OUR analysis outputs, whose float64-rounding differences leave
     # 150-230 dB.
     assert snr > 100.0, snr
 

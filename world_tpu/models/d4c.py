@@ -217,7 +217,18 @@ def _d4c_impl(x, temporal_positions, f0, fs_t, *, fs, fft_size, threshold,
     fft_d4c = config.get_fft_size_for_d4c(fs)
     n_bands = config.get_number_of_aperiodicities(fs)
     import numpy as np
-    boundaries = tuple(int(np.ceil(f * fft_lt / fs))
+    # LoveTrain cumulative-power boundaries at 100/4000/7900 Hz
+    # (src/d4c.cpp:270-272).  For fs < 15.8 kHz the 7900 Hz (and below
+    # 8.2 kHz the 4000 Hz) index lands beyond Nyquist: the reference
+    # then reads UNINITIALIZED heap memory past the spectrum's end
+    # (src/d4c.cpp:246-249 fills only fft/2+1 entries; the cumsum at
+    # :246-248 and the ratio at :250 run to boundary2) — observed to
+    # fail every frame's VUV gate at fs=8000, leaving ap == 1
+    # everywhere.  We clamp to Nyquist instead: the band power above
+    # Nyquist is zero by definition, so ratios degrade gracefully
+    # (at fs=8000 both bands coincide and every voiced frame passes).
+    # Deliberate, documented divergence from reference UB.
+    boundaries = tuple(min(int(np.ceil(f * fft_lt / fs)), fft_lt // 2)
                        for f in (100.0, 4000.0, 7900.0))
     window_length = int(config.K_FREQUENCY_INTERVAL * fft_d4c / fs) * 2 + 1
     window = common.nuttall_window(window_length, dtype=dtype)
