@@ -31,8 +31,12 @@ def shard_utterances(paths, process_index=None, process_count=None):
 
 
 def allreduce_metrics(metrics, mesh=None):
-    """Sum numeric metrics across all devices/hosts (psum over a 1-d
-    mesh spanning every device)."""
+    """Sum each process's numeric metrics across all hosts.
+
+    Single-process this is the identity (one host's contribution);
+    multi-process it all-gathers the per-host vectors over the global
+    device mesh and sums (tests/test_multiprocess.py runs it across
+    two OS processes on the CPU backend)."""
     from jax.sharding import Mesh
     from jax.sharding import PartitionSpec as P
     try:
@@ -40,11 +44,16 @@ def allreduce_metrics(metrics, mesh=None):
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    if mesh is None:
-        mesh = Mesh(np.asarray(jax.devices()), ("all",))
     keys = sorted(k for k, v in metrics.items()
                   if isinstance(v, (int, float)))
     local = jnp.asarray([float(metrics[k]) for k in keys], jnp.float32)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        gathered = multihost_utils.process_allgather(local)  # (nproc, k)
+        return dict(zip(keys, np.asarray(gathered).sum(0).tolist()))
+
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()), ("all",))
     n = len(jax.devices())
     tiled = jnp.tile(local[None, :], (n, 1))
 
