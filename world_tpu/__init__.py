@@ -57,16 +57,22 @@ class WorldParameters:
     fft_size: int
 
 
-def analyze(x, fs, frame_period=5.0, f0_method="harvest", rng_mode="exact"):
+def analyze(x, fs, frame_period=5.0, f0_method="harvest", rng_mode="exact",
+            f0_option=None):
     """Full analysis: F0 -> spectral envelope -> aperiodicity.
 
     f0_method: "harvest" (quality, default like test.cpp) or "dio"
-    (fast path; refined with StoneMask).
+    (fast path; refined with StoneMask).  f0_option optionally overrides
+    the HarvestOption/DioOption (its frame_period is forced to
+    ``frame_period``).
     """
+    import dataclasses as _dc
     if f0_method == "harvest":
-        tp, f0 = harvest(x, fs, HarvestOption(frame_period=frame_period))
+        opt = f0_option or HarvestOption()
+        tp, f0 = harvest(x, fs, _dc.replace(opt, frame_period=frame_period))
     elif f0_method == "dio":
-        tp, f0 = dio(x, fs, DioOption(frame_period=frame_period))
+        opt = f0_option or DioOption()
+        tp, f0 = dio(x, fs, _dc.replace(opt, frame_period=frame_period))
         f0 = stone_mask(x, fs, tp, f0)
     else:
         raise ValueError(f0_method)

@@ -205,6 +205,32 @@ def cmd_synthesis(argv):
     wavwrite(y, fs, a.output)
 
 
+def parameter_modification_stretch(sp, fs, ratio):
+    """Spectral stretching exactly as test/test.cpp:230-253: linear
+    interp1 of the LOG envelope from the stretched frequency axis
+    ``ratio*i/fft_size*fs`` back onto the linear axis, then (for
+    ratio < 1) a flat fill above ``fft_size/2*ratio`` with the value
+    just below the fill start."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.matlab import interp1
+
+    half = sp.shape[1] - 1
+    fft_size = 2 * half
+    i = np.arange(half + 1, dtype=np.float64)
+    freq1 = jnp.asarray(ratio * i / fft_size * fs)
+    freq2 = jnp.asarray(i / fft_size * fs)
+    # np.array (copy): np.asarray of a jax array is read-only, and the
+    # flat fill below writes in place.
+    out = np.array(jnp.exp(jax.vmap(
+        lambda row: interp1(freq1, row, freq2))(jnp.log(jnp.asarray(sp)))))
+    if ratio < 1.0:
+        j0 = int(fft_size / 2.0 * ratio)
+        out[:, j0:] = out[:, j0 - 1][:, None]
+    return out
+
+
 def cmd_test(argv):
     """Full pipeline like test/test.cpp: analysis -> optional F0 scaling /
     spectral stretching -> batch synthesis + both streaming variants."""
@@ -225,17 +251,16 @@ def cmd_test(argv):
           f"Length {len(x)} [sample]\nLength {len(x) / fs} [sec]")
 
     t0 = time.time()
-    params = analyze(x, fs)
+    # test.cpp:145 lowers the Harvest floor to 40 Hz (below kFloorF0).
+    from ..config import HarvestOption
+    params = analyze(x, fs, f0_option=HarvestOption(f0_floor=40.0))
     print(f"Analysis: {(time.time() - t0) * 1000:.0f} [msec]")
 
     # ParameterModification (test/test.cpp:221-258)
     f0 = np.asarray(params.f0) * a.f0_scale
     sp = np.asarray(params.spectrogram)
     if a.spec_stretch != 1.0:
-        half = sp.shape[1] - 1
-        src = np.minimum((np.arange(half + 1) / a.spec_stretch).astype(int),
-                         half)
-        sp = sp[:, src]
+        sp = parameter_modification_stretch(sp, fs, a.spec_stretch)
     ap = np.asarray(params.aperiodicity)
 
     t0 = time.time()
