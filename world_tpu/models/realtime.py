@@ -151,6 +151,17 @@ class StreamingSynthesizer:
         self._fast_key = jax.random.PRNGKey(3)
         self._fast_step = 0
         self._resp_cache = {}
+        # Lookahead walk bookkeeping: the shadow-walk over future pulses
+        # only needs to re-run when new pulses arrive (_pulse_epoch
+        # bumps), when a render window has a cache miss, or when a
+        # cap-limited walk's horizon must advance with consumption.
+        # Without this, every 64-sample render call re-walks every known
+        # future pulse in Python — the dominant cost of a fully cached
+        # steady state.
+        self._pulse_epoch = 0
+        self._walk_epoch = -1
+        self._walk_exhausted = False
+        self._consumed_since_walk = 0
 
     def is_locked(self):
         """IsLocked (src/synthesisrealtime.cpp:566-575)."""
@@ -194,6 +205,7 @@ class StreamingSynthesizer:
         self.handoff_f0 = f0[-1]
         self.head_pointer += 1
         self.handoff = 1
+        self._pulse_epoch += 1
         return True
 
     def _get_time_base(self, f0, chunk, start_sample, n):
@@ -474,6 +486,7 @@ class StreamingSynthesizer:
                 to_render.append((env, ap, vuv, ref, noise_size))
                 render_keys.append(key)
             current_location = tmp
+            self._consumed_since_walk += 1
             if not self._update():
                 break
 
@@ -482,18 +495,33 @@ class StreamingSynthesizer:
         # exists) with predicted RNG references, and render them in the
         # SAME device call — one dispatch then covers many render
         # windows, which is what makes 64-sample buffers real-time.
+        # The walk is skipped when nothing changed since the last one
+        # (no new pulses, no window miss, horizon still ahead of
+        # consumption): in a fully cached steady state synthesis2 then
+        # does O(window) host work instead of O(lookahead) per call.
+        need_walk = bool(to_render) or (
+            self._walk_epoch != self._pulse_epoch
+            or (not self._walk_exhausted
+                and 2 * self._consumed_since_walk >= self.lookahead_pulses))
         ahead_params, ahead_keys = [], []
-        if self.lookahead_pulses:
+        if self.lookahead_pulses and need_walk:
             ptr, i = self.current_pointer, self.i
             counters = (self._draw_counter, self._fast_step)
+            exhausted = False
+            # Bound per-call walk work: pulses beyond the step cap get
+            # rendered later, once consumption draws the horizon closer.
+            steps = 4 * self.lookahead_pulses
             while (len(ahead_keys) + len(to_render)
-                   < self.lookahead_pulses):
+                   < self.lookahead_pulses) and steps > 0:
+                steps -= 1
                 ca = self._chunk(ptr)
                 if ca is None or ca.number_of_pulses == 0:
+                    exhausted = True
                     break
                 loc = int(ca.pulse_locations_index[i])
                 tmp = self._next_pulse_index_at(ptr, i)
                 if tmp == 0:
+                    exhausted = True
                     break
                 ns = tmp - loc
                 ref, counters = self._predict_rng(self.rng_mode,
@@ -505,10 +533,20 @@ class StreamingSynthesizer:
                     ahead_keys.append(key)
                 ptr, i, ok = self._advance_at(ptr, i)
                 if not ok:
+                    exhausted = True
                     break
+            self._walk_epoch = self._pulse_epoch
+            self._walk_exhausted = exhausted
+            self._consumed_since_walk = 0
 
-        batch = to_render + ahead_params
-        if batch:
+        # Dispatch policy: a window miss forces a render (and takes the
+        # gathered lookahead along for free); ahead-only batches wait
+        # until enough pulses accumulate to amortize the call's fixed
+        # dispatch cost (frame-by-frame feeding otherwise dispatches a
+        # 1-2 pulse render after every AddParameters).
+        ahead_min = max(1, min(self.lookahead_pulses, 64) // 2)
+        if to_render or len(ahead_params) >= ahead_min:
+            batch = to_render + ahead_params
             resps = self._render_pulses(batch)
             for key, resp in zip(render_keys + ahead_keys, resps):
                 self._resp_cache[key] = resp
@@ -519,6 +557,7 @@ class StreamingSynthesizer:
             self.buffer[lo + offset: fft + offset] += resp[lo:]
         if len(self._resp_cache) > 4 * max(self.lookahead_pulses, 64):
             self._resp_cache.clear()  # stale keys from rewound streams
+            self._walk_epoch = -1  # force a fresh lookahead walk
         self.synthesized_sample += bs
         # The reference calls SeekSynthesizer(synthesized_sample) here with
         # samples where seconds are expected, so it never matches a frame
