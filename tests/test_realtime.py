@@ -100,3 +100,55 @@ def test_refresh_resets(gold):
     synth.refresh()
     assert synth.synthesized_sample == 0
     assert not synth.synthesis2()
+
+
+def test_streaming_dispatch_batching(gold, monkeypatch):
+    """The dispatch policy must amortize device renders whenever the
+    producer runs ahead of consumption: all-queued feeding renders
+    everything in O(pulses/lookahead) calls, and chunked feeding renders
+    ~once per chunk (the chunk's first window miss takes the rest of the
+    chunk's pulses along).  Frame-by-frame real-time feeding stays
+    per-pulse by nature — the next buffer needs the pulse immediately —
+    which test_streaming_frame_by_frame covers for accuracy."""
+    calls = {"n": 0, "sizes": []}
+    orig = StreamingSynthesizer._render_pulses
+
+    def counted(self, pulses):
+        calls["n"] += 1
+        calls["sizes"].append(len(pulses))
+        return orig(self, pulses)
+
+    monkeypatch.setattr(StreamingSynthesizer, "_render_pulses", counted)
+
+    # All queued upfront (bench / batch-offline shape): one render.
+    out = _run_all_at_once(gold, n_pointers=1)
+    ref = gold["synthesis2_y"]
+    s = snr_db(ref[np.abs(ref) > 0], out[np.abs(ref) > 0])
+    assert s > 80.0, s
+    assert calls["n"] <= 3, (calls["n"], calls["sizes"])
+
+    # Chunked feeding, 20 frames (~100 ms) at a time: about one render
+    # per chunk, not one per pulse.
+    calls["n"], calls["sizes"] = 0, []
+    fs = gold.scalar("fs")
+    f0 = gold["harvest_f0"]
+    sp = gold["cheaptrick_sp"]
+    ap = gold["d4c_ap"]
+    y_length = gold["synthesis3_y"].shape[0]
+    synth = StreamingSynthesizer(fs, 5.0, gold.scalar("fft_size"), 64, 100)
+    out = np.zeros(y_length)
+    index = 0
+    step = 20
+    for i in range(0, len(f0), step):
+        assert synth.add_parameters(f0[i: i + step], sp[i: i + step],
+                                    ap[i: i + step])
+        while synth.synthesis2():
+            take = min(64, y_length - index)
+            if take > 0:
+                out[index: index + take] = synth.buffer[:take]
+            index += 64
+    ref = gold["synthesis3_y"]
+    s = snr_db(ref[np.abs(ref) > 0], out[np.abs(ref) > 0])
+    assert s > 80.0, s
+    n_chunks = -(-len(f0) // step)
+    assert calls["n"] <= n_chunks + 3, (calls["n"], calls["sizes"])
