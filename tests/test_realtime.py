@@ -152,3 +152,46 @@ def test_streaming_dispatch_batching(gold, monkeypatch):
     assert s > 80.0, s
     n_chunks = -(-len(f0) // step)
     assert calls["n"] <= n_chunks + 3, (calls["n"], calls["sizes"])
+
+
+def test_streaming_random_feed_patterns(gold):
+    """Property test: any interleaving of AddParameters chunk sizes and
+    partial drains must produce the same waveform as the all-at-once
+    feed (the reference's 01/02/03 equivalence, generalized).  Stresses
+    the lookahead walk-skip state machine: partial drains leave the
+    window mid-chunk, chunk arrivals bump the pulse epoch, and cache
+    entries are consumed across feed boundaries."""
+    fs = gold.scalar("fs")
+    f0 = gold["harvest_f0"]
+    sp = gold["cheaptrick_sp"]
+    ap = gold["d4c_ap"]
+    ref = gold["synthesis2_y"]
+    y_length = ref.shape[0]
+    for seed in (0, 1):
+        rng = np.random.default_rng(seed)
+        synth = StreamingSynthesizer(fs, 5.0, gold.scalar("fft_size"),
+                                     64, 100)
+        out = np.zeros(y_length)
+        index = 0
+        i = 0
+        while i < len(f0):
+            step = int(rng.integers(1, 24))
+            assert synth.add_parameters(f0[i: i + step], sp[i: i + step],
+                                        ap[i: i + step])
+            i += step
+            # Partial drain: render only a random number of buffers.
+            for _ in range(int(rng.integers(0, 4))):
+                if not synth.synthesis2():
+                    break
+                take = min(64, y_length - index)
+                if take > 0:
+                    out[index: index + take] = synth.buffer[:take]
+                index += 64
+        while synth.synthesis2():
+            take = min(64, y_length - index)
+            if take > 0:
+                out[index: index + take] = synth.buffer[:take]
+            index += 64
+        v = np.abs(ref) > 0
+        s = snr_db(ref[v], out[v])
+        assert s > 80.0, (seed, s)
