@@ -251,7 +251,9 @@ class StreamingSynthesizer:
         # careful: time_axis index is i, but with handoff the pulse time is
         # time_axis[i] - handoff/fs (src/synthesisrealtime.cpp:322-328)
         chunk.pulse_locations = locs
-        idx = np.round(locs * self.fs).astype(np.int64)
+        # matlab_round, not np.round: half-to-even differs at exact .5
+        # (src/synthesisrealtime.cpp:326-328); locations are >= 0.
+        idx = np.floor(locs * self.fs + 0.5).astype(np.int64)
         chunk.pulse_locations_index = idx
         chunk.number_of_pulses = len(idx)
         if len(idx):
