@@ -58,3 +58,23 @@ def test_ola_accumulate_small_fft():
         for p in range(pulses):
             ref[b, offs[b, p]: offs[b, p] + fft] += resp[b, p]
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_high_f0_pulse_capacity(gold):
+    """A manipulated F0 track above the 1500 Hz default capacity
+    heuristic must not silently drop pulses: the default max_pulses is
+    sized from the concrete F0's own maximum (public eager API)."""
+    import jax.numpy as jnp
+
+    from world_tpu.models.synthesis import synthesis
+
+    fs = gold.scalar("fs")
+    f0 = gold["harvest_f0"] * 8.0  # ~2000 Hz voiced
+    sp = gold["cheaptrick_sp"]
+    ap = gold["d4c_ap"]
+    y_default = np.asarray(synthesis(f0, sp, ap, fs))
+    fs_v = float(fs)
+    roomy = int(len(y_default) / fs_v * 3000.0) + 64
+    y_roomy = np.asarray(synthesis(f0, sp, ap, fs, max_pulses=roomy))
+    # Padded-lane count affects only scatter-add summation order (~1e-16).
+    np.testing.assert_allclose(y_default, y_roomy, atol=1e-12)

@@ -240,8 +240,16 @@ def synthesis(f0, spectrogram, aperiodicity, fs, frame_period=5.0,
         y_length = int((f0_length - 1) * frame_period / 1000.0 * fs) + 1
     if max_pulses is None:
         # Pulses are at most one per period; 1500 Hz covers any F0 track
-        # up to nearly double the default 800 Hz ceiling.
-        max_pulses = min(y_length, int(y_length / fs * 1500.0) + 64)
+        # up to nearly double the default 800 Hz ceiling.  A concrete
+        # (non-traced) F0 — the public-API case — additionally sizes the
+        # capacity from its own maximum, so manipulated tracks above
+        # 1500 Hz (e.g. test.cpp-style F0 scaling) never silently drop
+        # pulses; inside jit, pass max_pulses explicitly.
+        ceiling = 1500.0
+        if not isinstance(f0, jax.core.Tracer):
+            ceiling = max(ceiling, float(jnp.max(f0)) * 1.001 + 1.0)
+        # Pulses only exist at samples i < y_length-1 (_time_base).
+        max_pulses = min(y_length - 1, int(y_length / fs * ceiling) + 64)
     return _synthesis_impl(
         f0, spectrogram, jnp.asarray(aperiodicity, spectrogram.dtype),
         jnp.asarray(float(fs), spectrogram.dtype), fs=fs, fft_size=fft_size,
