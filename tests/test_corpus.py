@@ -109,3 +109,64 @@ def test_batched_corpus_runner(tmp_path):
     assert m2["utterances_done"] == 0
     # the recorded failure is also checkpointed, so all 4 skip
     assert m2["utterances_skipped"] == 4
+
+
+def _flaky_batched_runner(tmp_path, out_name, failures_per_step):
+    """BatchedCorpusRunner whose device step raises ``failures_per_step``
+    times per unique step before succeeding."""
+    from world_tpu.io.audio import wavwrite
+    from world_tpu.utils.corpus import BatchedCorpusRunner
+
+    fs = 16000
+    rng = np.random.RandomState(5)
+    paths = []
+    for i, n in enumerate((4000, 5200)):
+        t = np.arange(n) / fs
+        x = 0.3 * np.sin(2 * np.pi * 150.0 * t) + 0.01 * rng.randn(n)
+        p = tmp_path / f"v{i}.wav"
+        wavwrite(x.astype(np.float64), fs, str(p))
+        paths.append(str(p))
+
+    runner = BatchedCorpusRunner(str(tmp_path / out_name), fs,
+                                 bucket_sizes=[6000], batch_size=2,
+                                 f0_method="dio", max_retries=1,
+                                 log=lambda *a: None)
+    real_step_for = runner._step_for
+    calls = {"n": 0}
+
+    def flaky_step_for(length):
+        real = real_step_for(length)
+
+        def step(xb):
+            calls["n"] += 1
+            if calls["n"] <= failures_per_step:
+                raise RuntimeError("transient device failure")
+            return real(xb)
+
+        return step
+
+    runner._step_for = flaky_step_for
+    return runner, paths, calls
+
+
+def test_batched_corpus_step_retry(tmp_path):
+    """A device step that fails once is retried and the batch
+    completes through the batched path (docstring's retry promise)."""
+    runner, paths, calls = _flaky_batched_runner(tmp_path, "out", 1)
+    m = runner.run(paths)
+    assert m["utterances_done"] == 2
+    assert m["utterances_failed"] == 0
+    assert calls["n"] == 2  # fail, retry-succeed
+
+
+def test_batched_corpus_step_fallback(tmp_path):
+    """A step that keeps failing falls back to the per-file runner for
+    that batch's utterances instead of aborting the run."""
+    runner, paths, calls = _flaky_batched_runner(tmp_path, "out2", 99)
+    m = runner.run(paths)
+    assert m["utterances_done"] == 2
+    assert m["utterances_failed"] == 0
+    assert calls["n"] == 2  # max_retries=1 -> two attempts, then per-file
+    for i in range(2):
+        for ext in (".f0", ".sp", ".ap"):
+            assert (tmp_path / "out2" / f"v{i}{ext}").exists()

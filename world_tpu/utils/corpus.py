@@ -204,9 +204,34 @@ class BatchedCorpusRunner(CorpusRunner):
                 if pad:
                     rows = np.concatenate(
                         [rows, np.zeros((pad, length), np.float32)])
-                f0b, spb, apb, _ = step(jnp.asarray(rows))
-                f0b, spb, apb = (np.asarray(f0b), np.asarray(spb),
-                                 np.asarray(apb))
+                # Transient device-step failures are retried like the
+                # per-file runner's; a batch that keeps failing falls
+                # back to the per-file path for its utterances so one
+                # bad batch cannot abort the whole corpus run.
+                out = None
+                for attempt in range(self.max_retries + 1):
+                    try:
+                        f0b, spb, apb, _ = step(jnp.asarray(rows))
+                        # dispatch is async: fetch inside the try so
+                        # device-side failures are caught here too
+                        out = (np.asarray(f0b), np.asarray(spb),
+                               np.asarray(apb))
+                        break
+                    except Exception as e:  # noqa: BLE001 — retry/fall back
+                        self.log(f"[corpus] batch step (len {length}, "
+                                 f"offset {b0}) attempt {attempt + 1} "
+                                 f"failed: {type(e).__name__}: {e}")
+                if out is None:
+                    batch_paths = [paths[idx[b0 + row]] for row in
+                                   range(min(self.batch_size,
+                                             len(idx) - b0))]
+                    m = CorpusRunner.run(self, batch_paths)
+                    n_done += m["utterances_done"]
+                    n_failed += m["utterances_failed"]
+                    audio_seconds += m["audio_seconds"]
+                    frames += m["frames"]
+                    continue
+                f0b, spb, apb = out
                 for row in range(min(self.batch_size, len(idx) - b0)):
                     i = idx[b0 + row]
                     true_len = int(lengths[b0 + row])
