@@ -334,38 +334,93 @@ def cmd_verify(argv):
         return np.fromfile(os.path.join(a.goldens, name + ".f64")) \
             .reshape(shapes[name])
 
+    def cents_rmse(f0, ref):
+        v = (f0 > 0) & (ref > 0)
+        cents = 1200.0 * np.log2(f0[v] / ref[v])
+        return float(np.sqrt(np.mean(cents**2)))
+
     fs = scalars["fs"]
+    fft_size = scalars["fft_size"]
     x = g("x")
     tp, f0 = world_tpu.harvest(x, fs)
     f0 = np.asarray(f0)
     ref = g("harvest_f0")
-    v = (f0 > 0) & (ref > 0)
-    cents = 1200.0 * np.log2(f0[v] / ref[v])
     sp = np.asarray(world_tpu.cheap_trick(x, fs, tp, f0))
     ap = np.asarray(world_tpu.d4c(x, fs, tp, f0))
     y = np.asarray(world_tpu.synthesis(f0, sp, ap, fs, frame_period=5.0))
     ry = g("synthesis_y")
     n = min(len(y), len(ry))
+
+    # dio + stonemask speed path (reference test.cpp:83-137).  StoneMask
+    # refines the *golden* dio track so its gate measures the refiner,
+    # not compounded dio deltas (same policy as tests/test_f0.py).
+    dtp, df0 = world_tpu.dio(x, fs)
+    df0 = np.asarray(df0)
+    dio_ref = g("dio_f0")
+    smf0 = np.asarray(world_tpu.stone_mask(x, fs, g("dio_tp"), dio_ref))
+    sm_ref = g("stonemask_f0")
+
+    # codec round trip from the golden parameters (test/codec_test)
+    csp = np.asarray(world_tpu.code_spectral_envelope(
+        g("cheaptrick_sp"), fs, scalars["sp_dim"], fft_size=fft_size))
+    dsp = np.asarray(world_tpu.decode_spectral_envelope(csp, fs, fft_size))
+    cap = np.asarray(world_tpu.code_aperiodicity(
+        g("d4c_ap"), fs, fft_size=fft_size))
+    dap = np.asarray(world_tpu.decode_aperiodicity(cap, fs, fft_size))
+
+    # streaming (Synthesis2 ring buffer) vs the reference's own
+    # streaming output golden (test.cpp variant 2: queue all, 1 slot)
+    gf0, gsp, gap = g("harvest_f0"), g("cheaptrick_sp"), g("d4c_ap")
+    ry2 = g("synthesis2_y")
+    synth = world_tpu.StreamingSynthesizer(fs, 5.0, fft_size, 64, 1)
+    ys = np.zeros(len(ry2))
+    index, i = 0, 0
+    while i < len(gf0):
+        if synth.add_parameters(gf0[i:], gsp[i:], gap[i:]):
+            i = len(gf0)
+        while synth.synthesis2():
+            take = min(64, len(ry2) - index)
+            if take > 0:
+                ys[index: index + take] = synth.buffer[:take]
+            index += 64
+    live = np.abs(ry2) > 0
+
     out = {
         "vuv_agreement": float(((f0 > 0) == (ref > 0)).mean()),
-        "f0_rmse_cents": float(np.sqrt(np.mean(cents**2))),
+        "f0_rmse_cents": cents_rmse(f0, ref),
+        "dio_vuv_agreement": float(((df0 > 0) == (dio_ref > 0)).mean()),
+        "dio_rmse_cents": cents_rmse(df0, dio_ref),
+        "stonemask_rmse_cents": cents_rmse(smf0, sm_ref),
         "envelope_max_rel_err": float(
             np.max(np.abs(sp - g("cheaptrick_sp")) / g("cheaptrick_sp"))),
         "aperiodicity_max_abs_err": float(
             np.max(np.abs(ap - g("d4c_ap")))),
+        "codec_sp_max_rel_err": float(
+            np.max(np.abs(dsp - g("decoded_sp")) / g("decoded_sp"))),
+        "codec_ap_max_abs_err": float(
+            np.max(np.abs(dap - g("decoded_ap")))),
         "resynthesis_snr_db": float(10 * np.log10(
             np.sum(ry[:n]**2) / np.sum((ry[:n] - y[:n])**2))),
+        "streaming_snr_db": float(10 * np.log10(
+            np.sum(ry2[live]**2) / np.sum((ry2[live] - ys[live])**2))),
     }
     print(json.dumps(out, indent=2))
     # Ratchet gates just below the achieved exact-mode values (3e-12-cent
     # F0 RMSE, 167 dB end-to-end resynthesis SNR — the envelope's ~1e-4
-    # rel err dominates; synthesis from golden parameters reaches 222 dB)
-    # so a real regression cannot print PASS.
+    # rel err dominates; synthesis from golden parameters reaches 222 dB;
+    # streaming vs the reference's synthesis2 output 222 dB; codec
+    # round-trip exact to ~1e-12) so a real regression cannot print PASS.
     ok = (out["f0_rmse_cents"] < 1e-6
           and out["resynthesis_snr_db"] > 150.0
           and out["envelope_max_rel_err"] < 1e-3
           and out["aperiodicity_max_abs_err"] < 1e-6
-          and out["vuv_agreement"] == 1.0)
+          and out["vuv_agreement"] == 1.0
+          and out["dio_vuv_agreement"] == 1.0
+          and out["dio_rmse_cents"] < 1e-6
+          and out["stonemask_rmse_cents"] < 1e-6
+          and out["codec_sp_max_rel_err"] < 1e-9
+          and out["codec_ap_max_abs_err"] < 1e-9
+          and out["streaming_snr_db"] > 150.0)
     print("PASS" if ok else "FAIL")
     return 0 if ok else 1
 
