@@ -37,7 +37,8 @@ def load(dirname):
 
 
 @pytest.mark.parametrize("dirname",
-                         ["goldens_fs8", "goldens_fs16", "goldens_fs48"])
+                         ["goldens_fs8", "goldens_fs16", "goldens_fs44",
+                          "goldens_fs48"])
 def test_stage_parity(dirname):
     g, s = load(dirname)
     fs = s["fs"]
@@ -102,3 +103,22 @@ def test_stage_parity(dirname):
 def jnp_ref(a):
     import jax.numpy as jnp
     return jnp.asarray(a)
+
+
+def test_dio_speed11_fs44():
+    """Dio at speed=11, the knob the reference suggests for 44.1 kHz
+    (src/dio.cpp:656-660, test/test.cpp:97-100): downsampling to
+    fs/11 = 4009 Hz, a non-integer-ratio actual_fs no other golden
+    exercises."""
+    g, s = load("goldens_fs44")
+    fs = s["fs"]
+    assert fs == 44100
+    _, f0 = world_tpu.dio(g["x"], fs, world_tpu.DioOption(speed=11))
+    f0 = np.asarray(f0)
+    ref = g["dio_f0_s11"]
+    same = (f0 > 0) == (ref > 0)
+    assert same.mean() > 0.98, same.mean()
+    v = (f0 > 0) & (ref > 0) & same
+    assert v.sum() > 50
+    cents = 1200 * np.abs(np.log2(f0[v] / ref[v]))
+    assert np.sqrt((cents**2).mean()) < 0.01, cents.max()

@@ -188,8 +188,14 @@ def _dio_impl(x, *, fs, frame_period, f0_floor, f0_ceil, channels_in_octave,
                                           fft_size, decimation_ratio)
 
     f0_length = config.get_samples_for_dio(fs, x_length, frame_period)
-    temporal_positions = jnp.arange(f0_length, dtype=dtype) \
-        * frame_period / 1000.0
+    # Host-side constant in the reference's exact evaluation order
+    # (i * frame_period) / 1000.0 (src/dio.cpp:610): XLA folds the
+    # traced *fp/1000 chain into *0.005, a 1-ulp difference that flips
+    # matlab_round sample indices wherever tp*fs lands on exact .5
+    # (every odd frame at fs=44100).
+    temporal_positions = jnp.asarray(
+        np.arange(f0_length, dtype=np.float64) * frame_period / 1000.0,
+        dtype)
 
     cands, scores = jax.vmap(
         lambda b: _band_candidates(b, y_spectrum, y_length, actual_fs,

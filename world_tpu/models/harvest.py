@@ -819,8 +819,12 @@ def _harvest_impl(x, *, fs, frame_period, f0_floor, f0_ceil):
     basic_f0 = fix_and_smooth(cands, scores)
 
     f0_length = config.get_samples_for_harvest(fs, x_length, frame_period)
-    temporal_positions = jnp.arange(f0_length, dtype=dtype) \
-        * frame_period / 1000.0
+    # (i * frame_period) / 1000.0 as a host constant — see dio.py: XLA
+    # folds the traced chain into *0.005, 1 ulp off the reference
+    # (src/harvest.cpp:1248), which flips .5-rounding at fs=44100.
+    temporal_positions = jnp.asarray(
+        np.arange(f0_length, dtype=np.float64) * frame_period / 1000.0,
+        dtype)
     if frame_period == 1.0:
         f0 = basic_f0[:f0_length]
     else:
