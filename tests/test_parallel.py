@@ -79,3 +79,29 @@ def test_graft_entry_single():
 def test_graft_entry_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_scaling_cli_smoke():
+    """`tools scaling` must stay runnable: 2-device virtual mesh, one
+    tiny weak-scaling row per mesh size, valid JSON with efficiency
+    fields (the committed SCALING_r*.json artifacts are produced by
+    this same command)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, "-m", "world_tpu.tools", "scaling",
+         "--devices", "1,2", "--batch-per-device", "1",
+         "--seconds", "0.25", "--fs", "8000", "--iters", "1"],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "scaling_efficiency"
+    assert [r["devices"] for r in rec["rows"]] == [1, 2]
+    assert all(r["throughput_xrt"] > 0 for r in rec["rows"])
+    assert rec["rows"][0]["efficiency"] == 1.0
