@@ -143,8 +143,7 @@ def main():
     result["batch"] = BATCH
     result["audio_seconds_per_step"] = round(audio_seconds, 3)
 
-    # ---- streaming synthesis RTF (reference test.cpp:300-339 claim:
-    # real-time rendering at 64-sample buffers) -------------------------
+    # ---- streaming synthesis (reference test.cpp:300-339) --------------
     from world_tpu.models.realtime import StreamingSynthesizer
 
     def g64(name, shape):
@@ -154,7 +153,10 @@ def main():
     spg = g64("cheaptrick_sp", (len(f0g), -1)).astype(np.float32)
     apg = g64("d4c_ap", (len(f0g), -1)).astype(np.float32)
     fftg = 2 * (spg.shape[1] - 1)
+    frame_s = 0.005
     streaming = {}
+
+    # (a) all-parameters-upfront throughput at two buffer sizes.
     for bs in (64, 4096):
         times = []
         for it in range(3):
@@ -172,6 +174,89 @@ def main():
         # first iteration compiles the response buckets; take the rest
         dt = float(np.median(times[1:]))
         streaming[f"rtf_buf{bs}"] = round(rendered / fs / dt, 2)
+
+    # (b) the reference's marquee REAL-TIME scenario: ONE 5 ms frame per
+    # AddParameters, 64-sample buffers drained as they become available
+    # (test/test.cpp:300-339).  hold_on_miss keeps every call
+    # sub-millisecond (no call ever blocks on the ~30 ms device round
+    # trip); the audio stream instead lags the parameter feed by a
+    # bounded priming latency that the paced run measures directly.
+    bs = 64
+    y_total = int((len(f0g) - 1) * frame_s * fs) + 1
+
+    def frame_feed(paced):
+        # dispatch_min 16: the worker's serialized result fetch costs
+        # ~38 ms/batch on the tunnel, so sustained real time needs
+        # >= pulse_rate * 38 ms ~ 8 pulses per batch (16 with margin).
+        # hold_force_ms 60 keeps forced flushes from shrinking batches
+        # below that while still bounding the latency a held window can
+        # accumulate.
+        synth = StreamingSynthesizer(
+            fs, 5.0, fftg, bs, number_of_pointers=250, rng_mode="fast",
+            dtype=np.float32, hold_on_miss=True, dispatch_min_pulses=16,
+            hold_force_ms=60.0).warmup()
+        scale = np.float32(0.5 + rng.random())
+        spl = spg * scale
+        call_ms = []
+        avail = []          # wall time each buffer became available
+        feed_t = []         # wall time each frame was fed
+        t0 = time.perf_counter()
+
+        def pump():
+            t1 = time.perf_counter()
+            ok = synth.synthesis2()
+            t2 = time.perf_counter()
+            call_ms.append(1e3 * (t2 - t1))
+            if ok:
+                avail.append(t2 - t0)
+            return ok
+
+        for i in range(len(f0g)):
+            if paced:  # real-time pacing: frame i arrives at t0 + 5 ms*i
+                while time.perf_counter() - t0 < i * frame_s:
+                    if not pump():
+                        time.sleep(2e-4)
+            while not synth.add_parameters(f0g[i: i + 1], spl[i: i + 1],
+                                           apg[i: i + 1]):
+                pump()  # ring full: consume
+            feed_t.append(time.perf_counter() - t0)
+            while pump():
+                pass
+        deadline = time.perf_counter() + 20.0
+        while len(avail) * bs < y_total - bs \
+                and time.perf_counter() < deadline:
+            if not pump():
+                if synth.synthesized_sample + bs >= synth.last_location:
+                    break
+                time.sleep(2e-4)
+        wall = time.perf_counter() - t0
+        return np.asarray(call_ms), np.asarray(avail), np.asarray(feed_t), \
+            wall, len(avail) * bs, synth.holds
+
+    frame_feed(paced=False)  # warm up / compile the response buckets
+    call_ms, _, _, wall, rendered, holds = frame_feed(paced=False)
+    streaming["rtf_frame_feed"] = round(rendered / fs / wall, 2)
+    streaming["frame_feed_max_call_ms"] = round(float(call_ms.max()), 3)
+    streaming["frame_feed_p99_call_ms"] = round(
+        float(np.percentile(call_ms, 99)), 3)
+
+    # Paced at real time: per-buffer lag behind its feed-complete time
+    # (buffer b needs parameters through frame ceil(((b+1)*bs)/fs/5ms)+1;
+    # its lag is avail_time - that frame's feed time).  The steady-state
+    # max over the tail is the stream's bounded latency.
+    call_ms, avail, feed_t, wall, rendered, holds = frame_feed(paced=True)
+    nb = len(avail)
+    need = np.minimum((np.ceil((np.arange(1, nb + 1) * bs)
+                                / (frame_s * fs)) + 1).astype(int),
+                      len(feed_t) - 1)
+    lag_ms = 1e3 * (avail - np.asarray(feed_t)[need])
+    prime = min(32, nb // 2)
+    streaming["paced_latency_ms_max"] = round(float(lag_ms[prime:].max()), 1)
+    streaming["paced_latency_ms_p50"] = round(
+        float(np.percentile(lag_ms[prime:], 50)), 1)
+    streaming["paced_priming_ms"] = round(float(lag_ms[:prime].max()), 1)
+    streaming["paced_max_call_ms"] = round(float(call_ms.max()), 3)
+    streaming["paced_holds"] = int(holds)
     result["streaming"] = streaming
 
     rtf = result["harvest_pipeline_rtf"]

@@ -111,14 +111,14 @@ def test_streaming_dispatch_batching(gold, monkeypatch):
     per-pulse by nature — the next buffer needs the pulse immediately —
     which test_streaming_frame_by_frame covers for accuracy."""
     calls = {"n": 0, "sizes": []}
-    orig = StreamingSynthesizer._render_pulses
+    orig = StreamingSynthesizer._render_dispatch
 
     def counted(self, pulses):
         calls["n"] += 1
         calls["sizes"].append(len(pulses))
         return orig(self, pulses)
 
-    monkeypatch.setattr(StreamingSynthesizer, "_render_pulses", counted)
+    monkeypatch.setattr(StreamingSynthesizer, "_render_dispatch", counted)
 
     # All queued upfront (bench / batch-offline shape): one render.
     out = _run_all_at_once(gold, n_pointers=1)
@@ -195,3 +195,53 @@ def test_streaming_random_feed_patterns(gold):
         v = np.abs(ref) > 0
         s = snr_db(ref[v], out[v])
         assert s > 80.0, (seed, s)
+
+
+def test_streaming_hold_on_miss_frame_feed(gold):
+    """hold_on_miss bounds per-call latency: when the next window's
+    responses are still rendering on the worker thread, synthesis2
+    returns False WITHOUT consuming state, and the audio arrives once
+    they land — the waveform must match the reference's frame-by-frame
+    streaming output exactly like the blocking mode does."""
+    import time
+
+    fs = gold.scalar("fs")
+    f0 = gold["harvest_f0"]
+    sp = gold["cheaptrick_sp"]
+    ap = gold["d4c_ap"]
+    ref = gold["synthesis3_y"]
+    y_length = ref.shape[0]
+    synth = StreamingSynthesizer(fs, 5.0, gold.scalar("fft_size"), 64, 100,
+                                 hold_on_miss=True, dispatch_min_pulses=4)
+    out = np.zeros(y_length)
+    index = 0
+
+    def drain(index, patience=30.0):
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < patience:
+            if synth.synthesis2():
+                t0 = time.perf_counter()
+                take = min(64, y_length - index)
+                if take > 0:
+                    out[index: index + take] = synth.buffer[:take]
+                index += 64
+            else:
+                if synth.synthesized_sample + 64 >= synth.last_location:
+                    break  # genuinely needs more parameters
+                time.sleep(0.002)  # held: responses still rendering
+        return index
+
+    for i in range(len(f0)):
+        while not synth.add_parameters(f0[i: i + 1], sp[i: i + 1],
+                                       ap[i: i + 1]):
+            index = drain(index)  # ring full: consume
+        while synth.synthesis2():
+            take = min(64, y_length - index)
+            if take > 0:
+                out[index: index + take] = synth.buffer[:take]
+            index += 64
+    index = drain(index)
+    s = snr_db(ref[np.abs(ref) > 0], out[np.abs(ref) > 0])
+    assert s > 80.0, s
+    # consumption stops one buffer short of the final pulse location
+    assert index >= y_length - 2 * 64

@@ -14,7 +14,12 @@ the subtract-only second-half DC removal (src/synthesisrealtime.cpp:
 jumps there in O(log n).
 """
 
+import atexit
 import functools
+import queue
+import threading
+import time
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -96,6 +101,138 @@ def _response_batch(envs, ap_ratios, vuvs, noise_draws, noise_sizes,
             envs, ap_ratios, vuvs, noise_draws, noise_sizes)
 
 
+_live_workers = weakref.WeakSet()
+
+
+@atexit.register
+def _shutdown_workers():
+    for w in list(_live_workers):
+        w.shutdown()
+
+
+class _RenderWorker:
+    """Background device-render thread for streaming synthesis.
+
+    On the TPU backend every device interaction — dispatch AND the
+    fetch of an already-computed result — costs a ~30 ms tunnel round
+    trip, an order of magnitude over a 64-sample buffer's 2.9 ms audio
+    budget.  So ALL JAX work for a streaming synthesizer runs on this
+    thread; the synthesis2 caller thread is numpy-only and communicates
+    through queues.  Requests queued while a render is in flight are
+    coalesced into ONE device call (response lanes are independent
+    vmap lanes, so batch composition cannot change per-pulse values).
+
+    Completion is in submission order (single FIFO worker), so batch
+    completion tracking is a high-water mark, not a set.
+    """
+
+    def __init__(self, dispatch_fn):
+        self._dispatch = dispatch_fn
+        self._requests = queue.SimpleQueue()
+        self._results = queue.SimpleQueue()
+        self._thread = None
+        self._next_id = 0
+        self._last_done = -1
+        _live_workers.add(self)
+
+    def submit(self, keys, pulses):
+        """Main thread: enqueue a render; returns its batch id."""
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(
+                target=self._loop, daemon=True,
+                name="world-tpu-render-worker")
+            self._thread.start()
+        bid = self._next_id
+        self._next_id += 1
+        self._requests.put((bid, keys, pulses))
+        return bid
+
+    def _loop(self):
+        # Pipelined: dispatch coalesced batches BEFORE blocking on the
+        # oldest fetch, so device round trips overlap (on the TPU
+        # tunnel a fetch costs ~35 ms even for a ready result; serial
+        # render→fetch→render would cap the worker at ~10 batches/s).
+        # Results still complete in submission order (FIFO inflight).
+        import collections
+        inflight = collections.deque()
+        backlog = []
+        stopping = False
+        while True:
+            if not inflight and not backlog and not stopping:
+                req = self._requests.get()  # idle: block for work
+                if req is None:
+                    stopping = True
+                else:
+                    backlog.append(req)
+            while True:
+                try:
+                    req = self._requests.get_nowait()
+                except queue.Empty:
+                    break
+                if req is None:
+                    stopping = True
+                else:
+                    backlog.append(req)
+            if backlog and len(inflight) < 8:
+                reqs, backlog = backlog, []
+                keys = [k for _, ks, _ in reqs for k in ks]
+                pulses = [p for _, _, ps in reqs for p in ps]
+                top = max(bid for bid, _, _ in reqs)
+                try:
+                    handle = self._dispatch(pulses)
+                    inflight.append((top, keys, len(pulses), handle))
+                except BaseException as e:  # noqa: BLE001 — surface on main
+                    self._results.put((top, keys, e))
+            if inflight:
+                top, keys, n, handle = inflight.popleft()
+                try:
+                    rows = np.asarray(handle)[:n]
+                except BaseException as e:  # noqa: BLE001 — surface on main
+                    rows = e
+                self._results.put((top, keys, rows))
+            if stopping and not inflight and not backlog \
+                    and self._requests.empty():
+                return
+
+    def shutdown(self):
+        """Stop the thread after finishing queued work (a daemon thread
+        caught inside an XLA call during interpreter teardown
+        segfaults, so atexit joins every live worker first)."""
+        if self._thread is not None and self._thread.is_alive():
+            self._requests.put(None)
+            self._thread.join(timeout=60.0)
+
+    def _absorb(self, item, into):
+        top, keys, rows = item
+        if isinstance(rows, BaseException):
+            raise rows
+        for k, row in zip(keys, rows):
+            into[k] = row
+        self._last_done = max(self._last_done, top)
+
+    def drain(self, into):
+        """Main thread: non-blocking; move finished rows into ``into``."""
+        while True:
+            try:
+                item = self._results.get_nowait()
+            except queue.Empty:
+                return
+            self._absorb(item, into)
+
+    def wait(self, bid, into):
+        """Main thread: block until batch ``bid`` has completed."""
+        while self._last_done < bid:
+            self._absorb(self._results.get(), into)
+
+    def idle(self):
+        return self._last_done == self._next_id - 1
+
+    def flush(self):
+        """Main thread: block until every submitted render completed,
+        discarding rows (used when the owner resets its cache)."""
+        self.wait(self._next_id - 1, {})
+
+
 class _Chunk:
     __slots__ = ("f0_length", "f0_origin", "spectrogram", "aperiodicity",
                  "interpolated_vuv", "pulse_locations",
@@ -114,7 +251,8 @@ class StreamingSynthesizer:
 
     def __init__(self, fs, frame_period, fft_size, buffer_size,
                  number_of_pointers, rng_mode="exact", dtype=np.float64,
-                 lookahead_pulses=256):
+                 lookahead_pulses=256, hold_on_miss=False,
+                 dispatch_min_pulses=None, hold_force_ms=15.0):
         self.fs = fs
         self.frame_period = frame_period / 1000.0
         self.fft_size = fft_size
@@ -127,14 +265,41 @@ class StreamingSynthesizer:
         # buffer sizes (64 samples ~ 3 ms) can only hit real time when
         # one call covers many windows.  0 disables.
         self.lookahead_pulses = lookahead_pulses
+        # hold_on_miss=True bounds per-call latency: when the next
+        # window needs responses that are still rendering, synthesis2
+        # returns False WITHOUT consuming state instead of blocking on
+        # the ~30 ms device round trip; the audio stream then lags the
+        # parameter feed by roughly that round trip (a fixed, bounded
+        # priming latency) while every call stays sub-millisecond.
+        # False keeps the reference's synchronous semantics
+        # (src/synthesisrealtime.cpp:577-603): a miss blocks.
+        self.hold_on_miss = hold_on_miss
+        # Ahead-only render batches wait for this many pulses before
+        # dispatching (amortizes the per-call round trip); window
+        # misses and hold_on_miss dispatch regardless.
+        self.dispatch_min = (max(1, min(lookahead_pulses, 64) // 2)
+                             if dispatch_min_pulses is None
+                             else dispatch_min_pulses)
+        # hold_on_miss dispatch pacing: a held window waits at most this
+        # long for more pulses to batch up before its render is forced —
+        # it directly bounds the latency the hold policy can add on top
+        # of the device round trip.
+        self.hold_force_ms = hold_force_ms
         self.dc_remover = jnp.asarray(_dc_remover_half(fft_size // 2, dtype))
         self.buffer = np.zeros(buffer_size * 2 + fft_size, dtype)
         self.chunks = {}
+        # Late binding so a subclass/monkeypatched _render_dispatch is
+        # honored even when swapped in after construction.
+        self._worker = _RenderWorker(lambda pulses: self._render_dispatch(
+            pulses))
         self.refresh()
 
     # -- ring-buffer state ---------------------------------------------
     def refresh(self):
         """RefreshSynthesizer (src/synthesisrealtime.cpp:521-542)."""
+        # Let in-flight renders finish so their rows cannot land in the
+        # refreshed cache (the worker thread itself is reused).
+        self._worker.flush()
         self.chunks.clear()
         self.handoff_phase = 0.0
         self.handoff_f0 = 0.0
@@ -151,6 +316,9 @@ class StreamingSynthesizer:
         self._fast_key = jax.random.PRNGKey(3)
         self._fast_step = 0
         self._resp_cache = {}
+        self._staged = {}  # key -> pulse params awaiting dispatch
+        self._hold_t0 = None  # first hold time for the current window
+        self.holds = 0  # hold_on_miss "not yet" returns (diagnostics)
         # Lookahead walk bookkeeping: the shadow-walk over future pulses
         # only needs to re-run when new pulses arrive (_pulse_epoch
         # bumps), when a render window has a cache miss, or when a
@@ -379,12 +547,19 @@ class StreamingSynthesizer:
         return 0, counters
 
     def _render_pulses(self, pulses):
-        """Render a window's pulses with ONE vmapped device call
-        (bucketed padding so only log-many shapes ever compile).
+        """Render and fetch: ONE device call then host rows."""
+        return np.asarray(self._render_dispatch(pulses))[:len(pulses)]
+
+    def _render_dispatch(self, pulses):
+        """Dispatch a window's pulses as ONE vmapped device call
+        (bucketed padding so only log-many shapes ever compile) and
+        return the un-fetched device array (async — the caller fetches,
+        which lets the worker overlap round trips).
 
         pulses: list of (env, ap, vuv, rng_ref, noise_size).  Padded
         lanes carry vuv=0 / noise_size=0 and contribute exact zeros.
-        Returns (P, fft_size) responses."""
+        Returns a (cap, fft_size) device array; rows [:len(pulses)]
+        are the responses."""
         fft = self.fft_size
         p = len(pulses)
         cap = 1
@@ -414,10 +589,9 @@ class StreamingSynthesizer:
         else:
             draws = jnp.zeros((cap, fft), self.dtype)
 
-        resp = _response_batch(
+        return _response_batch(
             jnp.asarray(envs), jnp.asarray(aps), jnp.asarray(vuvs),
             draws, jnp.asarray(sizes), self.dc_remover, fft_size=fft)
-        return np.asarray(resp)[:p]
 
     def _next_pulse_index_at(self, pointer, i):
         """GetNextPulseLocationIndex (src/synthesisrealtime.cpp:380-393)
@@ -455,9 +629,114 @@ class StreamingSynthesizer:
             self.current_pointer, self.i)
         return ok
 
+    def _window_probe(self):
+        """Non-mutating mirror of the next window walk: 'ready' when
+        every response the window needs is a materialized row in the
+        cache, 'pending' when some are still rendering on the worker,
+        'missing' when some were never dispatched."""
+        ptr, i = self.current_pointer, self.i
+        counters = (self._draw_counter, self._fast_step)
+        loc = int(self._chunk(ptr).pulse_locations_index[i])
+        end = self.synthesized_sample + self.buffer_size
+        state = "ready"
+        while loc < end:
+            tmp = self._next_pulse_index_at(ptr, i)
+            ns = tmp - loc
+            ref, counters = self._predict_rng(self.rng_mode, counters, ns)
+            v = self._resp_cache.get((ptr, i, ns, ref))
+            if v is None:
+                return "missing"
+            if not isinstance(v, np.ndarray):
+                state = "pending"
+            loc = tmp
+            ptr, i, ok = self._advance_at(ptr, i)
+            if not ok:
+                break
+        return state
+
+    def _collect_lookahead(self, base=0):
+        """Shadow-walk future pulses (all but the last known one, whose
+        noise_size is provisional until the next pulse exists) with
+        predicted RNG references; returns (params, keys) for the ones
+        not yet cached or rendering, capped at lookahead_pulses - base.
+        Updates the walk bookkeeping."""
+        ptr, i = self.current_pointer, self.i
+        counters = (self._draw_counter, self._fast_step)
+        exhausted = False
+        params, keys = [], []
+        # Bound per-call walk work: pulses beyond the step cap get
+        # rendered later, once consumption draws the horizon closer.
+        steps = 4 * self.lookahead_pulses
+        while len(keys) + base < self.lookahead_pulses and steps > 0:
+            steps -= 1
+            ca = self._chunk(ptr)
+            if ca is None or ca.number_of_pulses == 0:
+                exhausted = True
+                break
+            loc = int(ca.pulse_locations_index[i])
+            tmp = self._next_pulse_index_at(ptr, i)
+            if tmp == 0:
+                exhausted = True
+                break
+            ns = tmp - loc
+            ref, counters = self._predict_rng(self.rng_mode, counters, ns)
+            key = (ptr, i, ns, ref)
+            if key not in self._resp_cache:
+                p = self._staged.get(key)
+                if p is None:
+                    env, ap, vuv = self._pulse_env(loc, ptr, ahead=True)
+                    p = self._staged[key] = (env, ap, vuv, ref, ns)
+                params.append(p)
+                keys.append(key)
+            ptr, i, ok = self._advance_at(ptr, i)
+            if not ok:
+                exhausted = True
+                break
+        self._walk_epoch = self._pulse_epoch
+        self._walk_exhausted = exhausted
+        self._consumed_since_walk = 0
+        return params, keys
+
+    def warmup(self, max_pulses=None):
+        """Compile and prime every response bucket this stream can hit
+        (render batches are padded to powers of two, and each padded
+        size is a separate XLA program whose FIRST use pays the remote
+        compile — 30-300 s on the TPU tunnel; hitting an unseen bucket
+        mid-stream would stall the audio for that long).  Real-time
+        deployments call this once before streaming."""
+        n = max(max_pulses or max(self.lookahead_pulses, 1), 1)
+        half = self.fft_size // 2 + 1
+        env = np.ones(half, self.dtype)
+        apr = np.ones(half, self.dtype)
+        scratch = {}
+        cap = 1
+        while cap <= n:
+            # one batch per bucket, waited on so the worker cannot
+            # coalesce them into a single (largest-bucket) call
+            bid = self._worker.submit(
+                [("warmup", cap, k) for k in range(cap)],
+                [(env, apr, 0.0, 0, 0)] * cap)
+            self._worker.wait(bid, scratch)
+            cap *= 2
+        return self
+
+    def _submit(self, keys, params):
+        """Queue a render on the worker; mark its keys as pending."""
+        bid = self._worker.submit(keys, params)
+        for k in keys:
+            self._resp_cache[k] = ("pending", bid)
+            self._staged.pop(k, None)
+        return bid
+
     def synthesis2(self):
         """Synthesis2 (src/synthesisrealtime.cpp:577-603).  On success the
-        first buffer_size samples of self.buffer are the new audio."""
+        first buffer_size samples of self.buffer are the new audio.
+
+        All device work rides self._worker (a background thread): ahead
+        renders are fire-and-forget; a window miss blocks on its batch
+        (reference semantics) unless hold_on_miss, where it returns
+        False without consuming state until the responses land."""
+        self._worker.drain(self._resp_cache)
         # CheckSynthesizer (src/synthesisrealtime.cpp:415-426)
         if self.synthesized_sample + self.buffer_size >= self.last_location:
             return False
@@ -469,6 +748,32 @@ class StreamingSynthesizer:
             c = self._chunk(self.current_pointer)
         if c is None or c.number_of_pulses == 0:
             return False
+
+        if self.hold_on_miss:
+            state = self._window_probe()
+            if state != "ready":
+                now = time.perf_counter()
+                if self._hold_t0 is None:
+                    self._hold_t0 = now
+                if state == "missing":
+                    # Batch up arriving pulses for up to hold_force_ms
+                    # (or until dispatch_min accumulate), then render:
+                    # the hold adds at most hold_force_ms of latency on
+                    # top of the device round trip.
+                    force = 1e3 * (now - self._hold_t0) \
+                        >= self.hold_force_ms
+                    if force or self._walk_epoch != self._pulse_epoch:
+                        params, keys = self._collect_lookahead()
+                        if keys and (force
+                                     or len(keys) >= self.dispatch_min):
+                            self._submit(keys, params)
+                            self._hold_t0 = now  # bound restarts per batch
+                self._worker.drain(self._resp_cache)
+                state = self._window_probe()
+                if state != "ready":
+                    self.holds += 1
+                    return False
+            self._hold_t0 = None
 
         bs, fft = self.buffer_size, self.fft_size
         self.buffer[: bs + fft] = self.buffer[bs: 2 * bs + fft]
@@ -492,73 +797,43 @@ class StreamingSynthesizer:
             if not self._update():
                 break
 
-        # Lookahead: shadow-walk future pulses (all but the last known
-        # one, whose noise_size is provisional until the next pulse
-        # exists) with predicted RNG references, and render them in the
-        # SAME device call — one dispatch then covers many render
-        # windows, which is what makes 64-sample buffers real-time.
-        # The walk is skipped when nothing changed since the last one
-        # (no new pulses, no window miss, horizon still ahead of
-        # consumption): in a fully cached steady state synthesis2 then
-        # does O(window) host work instead of O(lookahead) per call.
+        # Lookahead: render future pulses ahead of consumption — one
+        # coalesced device call covers many render windows, which is
+        # what makes 64-sample buffers real-time.  The walk is skipped
+        # when nothing changed since the last one (no new pulses, no
+        # window miss, horizon still ahead of consumption): in a fully
+        # cached steady state synthesis2 then does O(window) host work
+        # instead of O(lookahead) per call.
         need_walk = bool(to_render) or (
             self._walk_epoch != self._pulse_epoch
             or (not self._walk_exhausted
                 and 2 * self._consumed_since_walk >= self.lookahead_pulses))
         ahead_params, ahead_keys = [], []
         if self.lookahead_pulses and need_walk:
-            ptr, i = self.current_pointer, self.i
-            counters = (self._draw_counter, self._fast_step)
-            exhausted = False
-            # Bound per-call walk work: pulses beyond the step cap get
-            # rendered later, once consumption draws the horizon closer.
-            steps = 4 * self.lookahead_pulses
-            while (len(ahead_keys) + len(to_render)
-                   < self.lookahead_pulses) and steps > 0:
-                steps -= 1
-                ca = self._chunk(ptr)
-                if ca is None or ca.number_of_pulses == 0:
-                    exhausted = True
-                    break
-                loc = int(ca.pulse_locations_index[i])
-                tmp = self._next_pulse_index_at(ptr, i)
-                if tmp == 0:
-                    exhausted = True
-                    break
-                ns = tmp - loc
-                ref, counters = self._predict_rng(self.rng_mode,
-                                                  counters, ns)
-                key = (ptr, i, ns, ref)
-                if key not in self._resp_cache:
-                    env, ap, vuv = self._pulse_env(loc, ptr, ahead=True)
-                    ahead_params.append((env, ap, vuv, ref, ns))
-                    ahead_keys.append(key)
-                ptr, i, ok = self._advance_at(ptr, i)
-                if not ok:
-                    exhausted = True
-                    break
-            self._walk_epoch = self._pulse_epoch
-            self._walk_exhausted = exhausted
-            self._consumed_since_walk = 0
+            ahead_params, ahead_keys = self._collect_lookahead(
+                base=len(to_render))
 
         # Dispatch policy: a window miss forces a render (and takes the
-        # gathered lookahead along for free); ahead-only batches wait
-        # until enough pulses accumulate to amortize the call's fixed
-        # dispatch cost (frame-by-frame feeding otherwise dispatches a
+        # gathered lookahead along for free); ahead-only batches are
+        # fire-and-forget but wait for dispatch_min pulses to
+        # accumulate (frame-by-frame feeding otherwise dispatches a
         # 1-2 pulse render after every AddParameters).
-        ahead_min = max(1, min(self.lookahead_pulses, 64) // 2)
-        if to_render or len(ahead_params) >= ahead_min:
-            batch = to_render + ahead_params
-            resps = self._render_pulses(batch)
-            for key, resp in zip(render_keys + ahead_keys, resps):
-                self._resp_cache[key] = resp
+        if to_render or len(ahead_params) >= self.dispatch_min:
+            bid = self._submit(render_keys + ahead_keys,
+                               to_render + ahead_params)
+            if to_render:
+                self._worker.wait(bid, self._resp_cache)
         for loc, key in window:
             resp = self._resp_cache.pop(key)
+            if not isinstance(resp, np.ndarray):  # still rendering
+                self._worker.wait(resp[1], self._resp_cache)
+                resp = self._resp_cache.pop(key)
             offset = loc - self.synthesized_sample - fft // 2 + 1
             lo = max(0, -offset)
             self.buffer[lo + offset: fft + offset] += resp[lo:]
         if len(self._resp_cache) > 4 * max(self.lookahead_pulses, 64):
             self._resp_cache.clear()  # stale keys from rewound streams
+            self._staged.clear()
             self._walk_epoch = -1  # force a fresh lookahead walk
         self.synthesized_sample += bs
         # The reference calls SeekSynthesizer(synthesized_sample) here with
