@@ -451,10 +451,11 @@ def cmd_scaling(argv):
         os.environ["XLA_FLAGS"] = (
             flags + f" --xla_force_host_platform_device_count={max(n_list)}"
         ).strip()
-    # Default to the virtual CPU mesh; on real multi-chip hardware set
-    # WORLD_TPU_PLATFORM=tpu (initializing the accelerator and then
-    # switching platforms leaves a stale default backend — see
-    # CLAUDE.md).
+    # Default to the virtual CPU mesh; on real hardware set
+    # WORLD_TPU_PLATFORM to the accelerator platform name ("tpu", or
+    # "axon" on this environment's tunnel chip) — initializing the
+    # accelerator and then switching platforms leaves a stale default
+    # backend (see CLAUDE.md).
     import jax
     jax.config.update("jax_platforms",
                       os.environ.get("WORLD_TPU_PLATFORM", "cpu"))
@@ -483,10 +484,15 @@ def cmd_scaling(argv):
                                                dtype=np.float32))
         step = make_batch_step(sizes.fs, n, rng_mode="fast", mesh=mesh,
                                f0_method=sizes.f0_method)
+        # Honest timing (CLAUDE.md): block_until_ready can return before
+        # compute finishes on the TPU tunnel — force completion by
+        # fetching a tiny pre-compiled slice of every output.
+        tail = jax.jit(lambda o: jnp.concatenate(
+            [o[0][:, -1], o[1][:, -1, -1], o[2][:, -1, -1],
+             o[3][:, -8:].ravel()]))
         xs = jax.device_put(jnp.asarray(xb),
                             NamedSharding(mesh, P("data", None)))
-        out = step(xs)
-        jax.block_until_ready(out)
+        checksum = float(np.asarray(tail(step(xs))).sum())
         times = []
         for _ in range(sizes.iters):
             xs = jax.device_put(
@@ -496,8 +502,9 @@ def cmd_scaling(argv):
             jax.block_until_ready(xs)
             t0 = time.perf_counter()
             out = step(xs)
-            jax.block_until_ready(out)
+            checksum += float(np.asarray(tail(out)).sum())
             times.append(time.perf_counter() - t0)
+        assert np.isfinite(checksum)
         dt = float(np.median(times))
         rows.append({"devices": nd, "batch": batch,
                      "audio_seconds": batch * sizes.seconds,
