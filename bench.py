@@ -76,6 +76,16 @@ def main():
                                        f0_method=method))
         dt = _timed(step, tail4, fresh)
         result[f"{method}_pipeline_rtf"] = round(audio_seconds / dt, 2)
+        if method == "harvest":
+            # BASELINE "frames analyzed/s/chip" at the operating batch.
+            # Batch 16 IS the throughput optimum: per-chip RTF measures
+            # flat 16->32 (73.8 vs 72.7) and ~10% lower at 64 (vmapped
+            # while-loop trip counts grow with the max over lanes), so
+            # larger batches only add latency.
+            from world_tpu import config as _cfg
+            f0_len = _cfg.get_samples_for_dio(fs, len(x), 5.0)
+            result["frames_per_second_per_chip"] = round(
+                BATCH * f0_len / dt)
 
     # ---- per-stage ms (B=16 batch, one fused vmapped call per stage) ----
     from world_tpu import config
@@ -185,16 +195,16 @@ def main():
     y_total = int((len(f0g) - 1) * frame_s * fs) + 1
 
     def frame_feed(paced):
-        # dispatch_min 16: the worker's serialized result fetch costs
-        # ~38 ms/batch on the tunnel, so sustained real time needs
-        # >= pulse_rate * 38 ms ~ 8 pulses per batch (16 with margin).
-        # hold_force_ms 60 keeps forced flushes from shrinking batches
-        # below that while still bounding the latency a held window can
-        # accumulate.
+        # dispatch_min 2: the worker's fetch POOL overlaps device round
+        # trips (~3x measured), so small batches sustain the ~200/s
+        # pulse rate and steady-state latency approaches one ~30 ms
+        # round trip; 1 saturates the dispatch thread, >=4 only adds
+        # accumulation wait.  hold_force_ms 8 bounds what a held window
+        # can add on top.
         synth = StreamingSynthesizer(
             fs, 5.0, fftg, bs, number_of_pointers=250, rng_mode="fast",
-            dtype=np.float32, hold_on_miss=True, dispatch_min_pulses=16,
-            hold_force_ms=60.0).warmup()
+            dtype=np.float32, hold_on_miss=True, dispatch_min_pulses=2,
+            hold_force_ms=8.0).warmup()
         scale = np.float32(0.5 + rng.random())
         spl = spg * scale
         call_ms = []

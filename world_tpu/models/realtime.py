@@ -126,13 +126,21 @@ class _RenderWorker:
     completion tracking is a high-water mark, not a set.
     """
 
+    _N_FETCHERS = 4  # concurrent device->host fetch threads
+
     def __init__(self, dispatch_fn):
         self._dispatch = dispatch_fn
         self._requests = queue.SimpleQueue()
+        self._fetches = queue.SimpleQueue()
         self._results = queue.SimpleQueue()
         self._thread = None
+        self._fetchers = []
         self._next_id = 0
-        self._last_done = -1
+        self._done = set()  # completed bids (absorbed on main thread)
+        self._n_done = 0
+        # outstanding dispatched-not-fetched batches, bounded so a
+        # burst cannot pile unbounded device work
+        self._inflight = threading.Semaphore(8)
         _live_workers.add(self)
 
     def submit(self, keys, pulses):
@@ -142,23 +150,29 @@ class _RenderWorker:
                 target=self._loop, daemon=True,
                 name="world-tpu-render-worker")
             self._thread.start()
+            for i in range(self._N_FETCHERS):
+                t = threading.Thread(
+                    target=self._fetch_loop, daemon=True,
+                    name=f"world-tpu-render-fetch-{i}")
+                t.start()
+                self._fetchers.append(t)
         bid = self._next_id
         self._next_id += 1
         self._requests.put((bid, keys, pulses))
         return bid
 
     def _loop(self):
-        # Pipelined: dispatch coalesced batches BEFORE blocking on the
-        # oldest fetch, so device round trips overlap (on the TPU
-        # tunnel a fetch costs ~35 ms even for a ready result; serial
-        # render→fetch→render would cap the worker at ~10 batches/s).
-        # Results still complete in submission order (FIFO inflight).
-        import collections
-        inflight = collections.deque()
+        # Dispatch thread: coalesce queued requests into ONE device
+        # call and hand the un-fetched handle to the fetcher pool.
+        # On the TPU tunnel a fetch costs ~28 ms even for a ready
+        # result, but concurrent fetches overlap (~3x measured), so
+        # fetching happens on _N_FETCHERS parallel threads; batches may
+        # therefore COMPLETE out of submission order, and completion is
+        # tracked per-bid, not by a high-water mark.
         backlog = []
         stopping = False
         while True:
-            if not inflight and not backlog and not stopping:
+            if not backlog and not stopping:
                 req = self._requests.get()  # idle: block for work
                 if req is None:
                     stopping = True
@@ -173,42 +187,56 @@ class _RenderWorker:
                     stopping = True
                 else:
                     backlog.append(req)
-            if backlog and len(inflight) < 8:
+            if backlog:
+                self._inflight.acquire()
                 reqs, backlog = backlog, []
+                bids = [bid for bid, _, _ in reqs]
                 keys = [k for _, ks, _ in reqs for k in ks]
                 pulses = [p for _, _, ps in reqs for p in ps]
-                top = max(bid for bid, _, _ in reqs)
                 try:
                     handle = self._dispatch(pulses)
-                    inflight.append((top, keys, len(pulses), handle))
+                    self._fetches.put((bids, keys, len(pulses), handle))
                 except BaseException as e:  # noqa: BLE001 — surface on main
-                    self._results.put((top, keys, e))
-            if inflight:
-                top, keys, n, handle = inflight.popleft()
-                try:
-                    rows = np.asarray(handle)[:n]
-                except BaseException as e:  # noqa: BLE001 — surface on main
-                    rows = e
-                self._results.put((top, keys, rows))
-            if stopping and not inflight and not backlog \
-                    and self._requests.empty():
+                    self._inflight.release()
+                    self._results.put((bids, keys, e))
+            if stopping and not backlog and self._requests.empty():
+                for _ in range(self._N_FETCHERS):
+                    self._fetches.put(None)
                 return
 
+    def _fetch_loop(self):
+        while True:
+            item = self._fetches.get()
+            if item is None:
+                return
+            bids, keys, n, handle = item
+            try:
+                rows = np.asarray(handle)[:n]
+            except BaseException as e:  # noqa: BLE001 — surface on main
+                rows = e
+            self._inflight.release()
+            self._results.put((bids, keys, rows))
+
     def shutdown(self):
-        """Stop the thread after finishing queued work (a daemon thread
-        caught inside an XLA call during interpreter teardown
+        """Stop the threads after finishing queued work (a daemon
+        thread caught inside an XLA call during interpreter teardown
         segfaults, so atexit joins every live worker first)."""
         if self._thread is not None and self._thread.is_alive():
             self._requests.put(None)
             self._thread.join(timeout=60.0)
+        for t in self._fetchers:
+            if t.is_alive():
+                t.join(timeout=60.0)
+        self._fetchers = []
 
     def _absorb(self, item, into):
-        top, keys, rows = item
+        bids, keys, rows = item
+        self._done.update(bids)
+        self._n_done += len(bids)
         if isinstance(rows, BaseException):
             raise rows
         for k, row in zip(keys, rows):
             into[k] = row
-        self._last_done = max(self._last_done, top)
 
     def drain(self, into):
         """Main thread: non-blocking; move finished rows into ``into``."""
@@ -221,16 +249,17 @@ class _RenderWorker:
 
     def wait(self, bid, into):
         """Main thread: block until batch ``bid`` has completed."""
-        while self._last_done < bid:
+        while bid >= 0 and bid not in self._done:
             self._absorb(self._results.get(), into)
 
     def idle(self):
-        return self._last_done == self._next_id - 1
+        return self._n_done == self._next_id
 
     def flush(self):
         """Main thread: block until every submitted render completed,
         discarding rows (used when the owner resets its cache)."""
-        self.wait(self._next_id - 1, {})
+        while self._n_done < self._next_id:
+            self._absorb(self._results.get(), {})
 
 
 class _Chunk:
@@ -319,6 +348,12 @@ class StreamingSynthesizer:
         self._staged = {}  # key -> pulse params awaiting dispatch
         self._hold_t0 = None  # first hold time for the current window
         self.holds = 0  # hold_on_miss "not yet" returns (diagnostics)
+        # Dispatch-threshold ramp: the first renders of a stream go out
+        # as soon as ANY pulse is ready (1, 2, 4, ... pulses), doubling
+        # until dispatch_min — priming latency is then one device round
+        # trip instead of the time real-time feeding needs to
+        # accumulate dispatch_min pulses (~80 ms at 16 pulses/200 Hz).
+        self._ramp = 1
         # Lookahead walk bookkeeping: the shadow-walk over future pulses
         # only needs to re-run when new pulses arrive (_pulse_epoch
         # bumps), when a render window has a cache miss, or when a
@@ -726,7 +761,13 @@ class StreamingSynthesizer:
         for k in keys:
             self._resp_cache[k] = ("pending", bid)
             self._staged.pop(k, None)
+        if self._ramp < self.dispatch_min:
+            self._ramp *= 2
         return bid
+
+    @property
+    def _dispatch_threshold(self):
+        return min(self.dispatch_min, self._ramp)
 
     def synthesis2(self):
         """Synthesis2 (src/synthesisrealtime.cpp:577-603).  On success the
@@ -765,7 +806,8 @@ class StreamingSynthesizer:
                     if force or self._walk_epoch != self._pulse_epoch:
                         params, keys = self._collect_lookahead()
                         if keys and (force
-                                     or len(keys) >= self.dispatch_min):
+                                     or len(keys)
+                                     >= self._dispatch_threshold):
                             self._submit(keys, params)
                             self._hold_t0 = now  # bound restarts per batch
                 self._worker.drain(self._resp_cache)
@@ -818,7 +860,7 @@ class StreamingSynthesizer:
         # fire-and-forget but wait for dispatch_min pulses to
         # accumulate (frame-by-frame feeding otherwise dispatches a
         # 1-2 pulse render after every AddParameters).
-        if to_render or len(ahead_params) >= self.dispatch_min:
+        if to_render or len(ahead_params) >= self._dispatch_threshold:
             bid = self._submit(render_keys + ahead_keys,
                                to_render + ahead_params)
             if to_render:
