@@ -23,6 +23,7 @@ output.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -152,6 +153,43 @@ def main():
     result["stage_ms"] = {k: round(v, 1) for k, v in stage_ms.items()}
     result["batch"] = BATCH
     result["audio_seconds_per_step"] = round(audio_seconds, 3)
+
+    # ---- sustained corpus throughput (production path) -----------------
+    # End-to-end BatchedCorpusRunner: wav read -> double-buffered device
+    # steps -> FULL result fetch -> reference-format parameter files.
+    # Unlike the per-step RTF above this includes every host cost (file
+    # I/O, f64 conversion, checkpointing), overlapped with device
+    # compute by the runner's dispatch pipelining.
+    import shutil
+    import tempfile
+
+    from world_tpu.io.audio import wavwrite
+    from world_tpu.utils.corpus import BatchedCorpusRunner
+
+    corpus_dir = tempfile.mkdtemp(prefix="world_bench_corpus_")
+    try:
+        n_utt = 4 * BATCH
+        paths = []
+        # + BATCH extra warmup-only files: the runtime memoizes repeat
+        # executions by input content, so the timed run must only see
+        # content never submitted before
+        for i in range(n_utt + BATCH):
+            scale = 0.5 + 0.45 * rng.random()  # entropy-fresh content
+            p = os.path.join(corpus_dir, f"u{i:03d}.wav")
+            wavwrite((x * scale).astype(np.float64), fs, p)
+            paths.append(p)
+        kw = dict(fs=fs, bucket_sizes=[len(x)], batch_size=BATCH,
+                  f0_method="harvest", log=lambda *a: None)
+        # warmup run compiles the with_synthesis=False step
+        BatchedCorpusRunner(os.path.join(corpus_dir, "warm"), **kw) \
+            .run(paths[n_utt:])
+        m = BatchedCorpusRunner(os.path.join(corpus_dir, "out"), **kw) \
+            .run(paths[:n_utt])
+        assert m["utterances_failed"] == 0 and m["utterances_done"] == n_utt
+        result["corpus_rtf_sustained"] = m["realtime_factor"]
+        result["corpus_frames_per_second"] = m["frames_per_second"]
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
 
     # ---- streaming synthesis (reference test.cpp:300-339) --------------
     from world_tpu.models.realtime import StreamingSynthesizer

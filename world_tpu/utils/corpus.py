@@ -196,6 +196,79 @@ class BatchedCorpusRunner(CorpusRunner):
 
         buckets = pad_and_bucket(waves, self.bucket_sizes)
         fft_size = config.get_fft_size_for_cheaptrick(self.fs)
+
+        def complete(pending):
+            """Fetch a dispatched batch's results (retrying the step on
+            failure, falling back to the per-file runner if it keeps
+            failing) and write the parameter files."""
+            nonlocal audio_seconds, frames, n_done, n_failed
+            handles, rows, length, b0, idx, lengths = pending
+            step = self._step_for(length)
+            out = None
+            # Transient device-step failures are retried like the
+            # per-file runner's; a batch that keeps failing falls back
+            # to the per-file path for its utterances so one bad batch
+            # cannot abort the whole corpus run.  Dispatch is async, so
+            # the device-side failure of the ALREADY-dispatched handles
+            # surfaces at this fetch; retries re-dispatch synchronously.
+            # A dispatch that already raised consumed attempt 0.
+            first = 1 if handles is None else 0
+            for attempt in range(first, self.max_retries + 1):
+                try:
+                    if handles is None:
+                        handles = step(jnp.asarray(rows))
+                    f0b, spb, apb = handles[0], handles[1], handles[2]
+                    out = (np.asarray(f0b), np.asarray(spb),
+                           np.asarray(apb))
+                    break
+                except Exception as e:  # noqa: BLE001 — retry/fall back
+                    handles = None
+                    self.log(f"[corpus] batch step (len {length}, "
+                             f"offset {b0}) attempt {attempt + 1} "
+                             f"failed: {type(e).__name__}: {e}")
+            if out is None:
+                batch_paths = [paths[idx[b0 + row]] for row in
+                               range(min(self.batch_size, len(idx) - b0))]
+                m = CorpusRunner.run(self, batch_paths)
+                n_done += m["utterances_done"]
+                n_failed += m["utterances_failed"]
+                audio_seconds += m["audio_seconds"]
+                frames += m["frames"]
+                return
+            f0b, spb, apb = out
+            for row in range(min(self.batch_size, len(idx) - b0)):
+                i = idx[b0 + row]
+                true_len = int(lengths[b0 + row])
+                nf = config.get_samples_for_dio(
+                    self.fs, true_len, self.frame_period)
+                stem = os.path.join(self.out_dir, os.path.splitext(
+                    os.path.basename(paths[i]))[0])
+                try:
+                    write_f0(stem + ".f0", f0b[row][:nf].astype(
+                        np.float64), self.frame_period)
+                    write_spectral_envelope(
+                        stem + ".sp", spb[row][:nf].astype(np.float64),
+                        self.fs, self.frame_period, fft_size)
+                    write_aperiodicity(
+                        stem + ".ap", apb[row][:nf].astype(np.float64),
+                        self.fs, self.frame_period, fft_size)
+                    self.checkpoint.mark(
+                        os.path.basename(paths[i]), status="ok",
+                        seconds=true_len / self.fs, frames=nf)
+                    audio_seconds += true_len / self.fs
+                    frames += nf
+                    n_done += 1
+                except Exception as e:  # noqa: BLE001
+                    self.checkpoint.mark(
+                        os.path.basename(paths[i]), status="failed",
+                        error=f"{type(e).__name__}: {e}")
+                    n_failed += 1
+
+        # Double-buffered: dispatch batch k (async), then fetch + write
+        # batch k-1 while the device crunches k — host file I/O and the
+        # ~27 ms per-call dispatch overhead hide behind device compute
+        # instead of serializing with it.
+        inflight = None
         for length, (arr, lengths, idx) in sorted(buckets.items()):
             step = self._step_for(length)
             for b0 in range(0, len(idx), self.batch_size):
@@ -204,61 +277,18 @@ class BatchedCorpusRunner(CorpusRunner):
                 if pad:
                     rows = np.concatenate(
                         [rows, np.zeros((pad, length), np.float32)])
-                # Transient device-step failures are retried like the
-                # per-file runner's; a batch that keeps failing falls
-                # back to the per-file path for its utterances so one
-                # bad batch cannot abort the whole corpus run.
-                out = None
-                for attempt in range(self.max_retries + 1):
-                    try:
-                        f0b, spb, apb, _ = step(jnp.asarray(rows))
-                        # dispatch is async: fetch inside the try so
-                        # device-side failures are caught here too
-                        out = (np.asarray(f0b), np.asarray(spb),
-                               np.asarray(apb))
-                        break
-                    except Exception as e:  # noqa: BLE001 — retry/fall back
-                        self.log(f"[corpus] batch step (len {length}, "
-                                 f"offset {b0}) attempt {attempt + 1} "
-                                 f"failed: {type(e).__name__}: {e}")
-                if out is None:
-                    batch_paths = [paths[idx[b0 + row]] for row in
-                                   range(min(self.batch_size,
-                                             len(idx) - b0))]
-                    m = CorpusRunner.run(self, batch_paths)
-                    n_done += m["utterances_done"]
-                    n_failed += m["utterances_failed"]
-                    audio_seconds += m["audio_seconds"]
-                    frames += m["frames"]
-                    continue
-                f0b, spb, apb = out
-                for row in range(min(self.batch_size, len(idx) - b0)):
-                    i = idx[b0 + row]
-                    true_len = int(lengths[b0 + row])
-                    nf = config.get_samples_for_dio(
-                        self.fs, true_len, self.frame_period)
-                    stem = os.path.join(self.out_dir, os.path.splitext(
-                        os.path.basename(paths[i]))[0])
-                    try:
-                        write_f0(stem + ".f0", f0b[row][:nf].astype(
-                            np.float64), self.frame_period)
-                        write_spectral_envelope(
-                            stem + ".sp", spb[row][:nf].astype(np.float64),
-                            self.fs, self.frame_period, fft_size)
-                        write_aperiodicity(
-                            stem + ".ap", apb[row][:nf].astype(np.float64),
-                            self.fs, self.frame_period, fft_size)
-                        self.checkpoint.mark(
-                            os.path.basename(paths[i]), status="ok",
-                            seconds=true_len / self.fs, frames=nf)
-                        audio_seconds += true_len / self.fs
-                        frames += nf
-                        n_done += 1
-                    except Exception as e:  # noqa: BLE001
-                        self.checkpoint.mark(
-                            os.path.basename(paths[i]), status="failed",
-                            error=f"{type(e).__name__}: {e}")
-                        n_failed += 1
+                try:
+                    handles = step(jnp.asarray(rows))
+                except Exception as e:  # noqa: BLE001 — retried at fetch
+                    handles = None
+                    self.log(f"[corpus] batch dispatch (len {length}, "
+                             f"offset {b0}) failed: "
+                             f"{type(e).__name__}: {e}")
+                if inflight is not None:
+                    complete(inflight)
+                inflight = (handles, rows, length, b0, idx, lengths)
+        if inflight is not None:
+            complete(inflight)
 
         wall = time.time() - t_start
         metrics = {
