@@ -197,6 +197,113 @@ def test_streaming_random_feed_patterns(gold):
         assert s > 80.0, (seed, s)
 
 
+def test_streaming_recovers_from_device_error(gold, monkeypatch):
+    """A transient device error must not poison the response cache: the
+    failed batch's keys revert to 'missing' and get re-dispatched, so
+    the stream completes with the correct waveform after the error
+    surfaces once (regression: ('pending', bid) markers used to stay in
+    _resp_cache forever — hold mode livelocked, blocking mode
+    KeyError'd)."""
+    import time
+
+    fs = gold.scalar("fs")
+    f0 = gold["harvest_f0"]
+    sp = gold["cheaptrick_sp"]
+    ap = gold["d4c_ap"]
+    ref = gold["synthesis3_y"]
+    y_length = ref.shape[0]
+    orig = StreamingSynthesizer._render_dispatch
+    state = {"calls": 0}
+
+    def flaky(self, pulses):
+        state["calls"] += 1
+        if state["calls"] == 2:  # fail once, mid-stream
+            raise RuntimeError("injected transient device failure")
+        return orig(self, pulses)
+
+    monkeypatch.setattr(StreamingSynthesizer, "_render_dispatch", flaky)
+    synth = StreamingSynthesizer(fs, 5.0, gold.scalar("fft_size"), 64, 100,
+                                 hold_on_miss=True, dispatch_min_pulses=4)
+    out = np.zeros(y_length)
+    index = 0
+    errors = 0
+
+    def pump():
+        nonlocal index, errors
+        try:
+            ok = synth.synthesis2()
+        except RuntimeError:
+            errors += 1
+            return True  # error surfaced; state unconsumed — retry
+        if ok:
+            take = min(64, y_length - index)
+            if take > 0:
+                out[index: index + take] = synth.buffer[:take]
+            index += 64
+        return ok
+
+    for i in range(len(f0)):
+        while not synth.add_parameters(f0[i: i + 1], sp[i: i + 1],
+                                       ap[i: i + 1]):
+            pump()
+        while pump():
+            pass
+    deadline = time.perf_counter() + 60.0
+    while synth.synthesized_sample + 64 < synth.last_location \
+            and time.perf_counter() < deadline:
+        if not pump():
+            time.sleep(0.002)
+    assert errors >= 1  # the injected failure did surface to the caller
+    s = snr_db(ref[np.abs(ref) > 0], out[np.abs(ref) > 0])
+    assert s > 80.0, s
+
+
+def test_render_worker_done_set_pruned():
+    """Completion tracking must not grow with stream length: completed
+    bids collapse into a contiguous watermark (regression: one set entry
+    per batch forever — millions/day at streaming rates)."""
+    from world_tpu.models.realtime import _RenderWorker
+
+    w = _RenderWorker(lambda pulses: np.zeros((len(pulses), 4)))
+    cache = {}
+    for k in range(64):
+        bid = w.submit([("k", k)], [None])
+        w.wait(bid, cache)
+    w.flush()
+    assert w._done_mark == 64
+    assert len(w._done) == 0
+    w.shutdown()
+
+
+def test_close_stops_worker_threads(gold):
+    """close() must stop the worker's daemon threads so long-lived
+    processes creating many synthesizers don't accumulate threads; a
+    closed synthesizer transparently restarts its worker when reused."""
+    fs = gold.scalar("fs")
+    f0 = gold["harvest_f0"]
+    sp = gold["cheaptrick_sp"]
+    ap = gold["d4c_ap"]
+    with StreamingSynthesizer(fs, 5.0, gold.scalar("fft_size"),
+                              64, 100) as synth:
+        assert synth.add_parameters(f0[:8], sp[:8], ap[:8])
+        assert synth.synthesis2()
+    assert synth._worker._thread is None
+    assert not synth._worker._fetchers
+    # reuse after close: threads restart on the next submit
+    assert synth.synthesis2()
+    synth.close()
+    assert synth._worker._thread is None
+
+
+def test_hold_on_miss_requires_lookahead(gold):
+    import pytest
+
+    with pytest.raises(ValueError):
+        StreamingSynthesizer(gold.scalar("fs"), 5.0,
+                             gold.scalar("fft_size"), 64, 100,
+                             hold_on_miss=True, lookahead_pulses=0)
+
+
 def test_streaming_hold_on_miss_frame_feed(gold):
     """hold_on_miss bounds per-call latency: when the next window's
     responses are still rendering on the worker thread, synthesis2

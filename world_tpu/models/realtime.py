@@ -121,9 +121,8 @@ class _RenderWorker:
     through queues.  Requests queued while a render is in flight are
     coalesced into ONE device call (response lanes are independent
     vmap lanes, so batch composition cannot change per-pulse values).
-
-    Completion is in submission order (single FIFO worker), so batch
-    completion tracking is a high-water mark, not a set.
+    The fetch pool completes batches out of submission order, so
+    completion is tracked per-bid (see _loop).
     """
 
     _N_FETCHERS = 4  # concurrent device->host fetch threads
@@ -136,7 +135,12 @@ class _RenderWorker:
         self._thread = None
         self._fetchers = []
         self._next_id = 0
-        self._done = set()  # completed bids (absorbed on main thread)
+        # Completed bids: everything below _done_mark plus the (small,
+        # out-of-order) set above it — the set is pruned to a contiguous
+        # watermark so day-long streams don't accumulate one entry per
+        # batch forever.
+        self._done = set()
+        self._done_mark = 0
         self._n_done = 0
         # outstanding dispatched-not-fetched batches, bounded so a
         # burst cannot pile unbounded device work
@@ -146,6 +150,7 @@ class _RenderWorker:
     def submit(self, keys, pulses):
         """Main thread: enqueue a render; returns its batch id."""
         if self._thread is None or not self._thread.is_alive():
+            _live_workers.add(self)  # re-register after a shutdown()
             self._thread = threading.Thread(
                 target=self._loop, daemon=True,
                 name="world-tpu-render-worker")
@@ -220,20 +225,42 @@ class _RenderWorker:
     def shutdown(self):
         """Stop the threads after finishing queued work (a daemon
         thread caught inside an XLA call during interpreter teardown
-        segfaults, so atexit joins every live worker first)."""
+        segfaults, so atexit joins every live worker first).  The join
+        timeout must cover a worst-case FIRST compile of an unseen
+        response bucket (30-300 s on the remote-compile tunnel) — a
+        shorter timeout would recreate exactly the teardown segfault the
+        join exists to prevent; call ``warmup()`` before streaming so
+        shutdown never waits on a compile."""
         if self._thread is not None and self._thread.is_alive():
             self._requests.put(None)
-            self._thread.join(timeout=60.0)
+            self._thread.join(timeout=600.0)
         for t in self._fetchers:
             if t.is_alive():
-                t.join(timeout=60.0)
+                t.join(timeout=600.0)
         self._fetchers = []
+        self._thread = None
+        _live_workers.discard(self)
+
+    def _mark_done(self, bids):
+        self._done.update(bids)
+        self._n_done += len(bids)
+        while self._done_mark in self._done:
+            self._done.discard(self._done_mark)
+            self._done_mark += 1
+
+    def _is_done(self, bid):
+        return bid < self._done_mark or bid in self._done
 
     def _absorb(self, item, into):
         bids, keys, rows = item
-        self._done.update(bids)
-        self._n_done += len(bids)
+        self._mark_done(bids)
         if isinstance(rows, BaseException):
+            # Revert the batch's keys to 'missing' so the owner's next
+            # call re-stages and re-dispatches them — leaving the
+            # ('pending', bid) markers would poison the cache forever
+            # (blocking mode would KeyError, hold mode would livelock).
+            for k in keys:
+                into.pop(k, None)
             raise rows
         for k, row in zip(keys, rows):
             into[k] = row
@@ -249,7 +276,7 @@ class _RenderWorker:
 
     def wait(self, bid, into):
         """Main thread: block until batch ``bid`` has completed."""
-        while bid >= 0 and bid not in self._done:
+        while bid >= 0 and not self._is_done(bid):
             self._absorb(self._results.get(), into)
 
     def idle(self):
@@ -302,6 +329,13 @@ class StreamingSynthesizer:
         # priming latency) while every call stays sub-millisecond.
         # False keeps the reference's synchronous semantics
         # (src/synthesisrealtime.cpp:577-603): a miss blocks.
+        if hold_on_miss and lookahead_pulses <= 0:
+            # The hold path relies on _collect_lookahead to dispatch the
+            # missing window's pulses; at lookahead 0 it collects
+            # nothing and synthesis2 would return False forever.
+            raise ValueError(
+                "hold_on_miss requires lookahead_pulses >= 1 (the hold "
+                "path renders the missing window via the lookahead walk)")
         self.hold_on_miss = hold_on_miss
         # Ahead-only render batches wait for this many pulses before
         # dispatching (amortizes the per-call round trip); window
@@ -365,6 +399,20 @@ class StreamingSynthesizer:
         self._walk_epoch = -1
         self._walk_exhausted = False
         self._consumed_since_walk = 0
+
+    def close(self):
+        """Stop the worker's background threads after finishing queued
+        work.  Long-lived processes that create many synthesizers must
+        call this (or use the context manager) — otherwise each
+        synthesizer's 5 daemon threads, and through them the
+        synthesizer itself, stay pinned until interpreter exit."""
+        self._worker.shutdown()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def is_locked(self):
         """IsLocked (src/synthesisrealtime.cpp:566-575)."""
