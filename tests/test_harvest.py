@@ -29,7 +29,7 @@ def test_contour_fix_device_matches_host():
     """Property test: the device fix_and_smooth must reproduce the
     host-numpy transcription (itself golden-validated) on random
     candidate grids with diverse voiced/unvoiced section shapes."""
-    import world_tpu.models.harvest as H
+    import harvest_contour_oracle as H
     from world_tpu.models.harvest_contour import fix_and_smooth
     import jax.numpy as jnp
 
@@ -62,7 +62,7 @@ def test_contour_fix_device_edge_cases():
     """Deterministic shapes that stress specific branches: all-unvoiced,
     single section, boundary-length runs/gaps, contained/overlapping
     merges after extension."""
-    import world_tpu.models.harvest as H
+    import harvest_contour_oracle as H
     from world_tpu.models.harvest_contour import fix_and_smooth
     import jax.numpy as jnp
 
@@ -101,7 +101,7 @@ def test_contour_fix_device_edge_cases():
 
 def test_contour_fix_device_matches_host_more():
     """More randomized trials with harsher section statistics."""
-    import world_tpu.models.harvest as H
+    import harvest_contour_oracle as H
     from world_tpu.models.harvest_contour import fix_and_smooth
     import jax.numpy as jnp
 
@@ -134,7 +134,7 @@ def test_contour_fix_many_sections():
     """>8 surviving sections forces multiple trips of the chunked
     extension while_loop in _fix_step3 (the single real-audio fixture
     has ~5 sections, so multi-trip chunking is otherwise unexercised)."""
-    import world_tpu.models.harvest as H
+    import harvest_contour_oracle as H
     from world_tpu.models.harvest_contour import fix_and_smooth
     import jax.numpy as jnp
 
