@@ -154,6 +154,22 @@ def main():
     result["batch"] = BATCH
     result["audio_seconds_per_step"] = round(audio_seconds, 3)
 
+    # ---- production rate: 48 kHz / fft_size 2048 ------------------------
+    # The reference's 71 Hz f0_floor is chosen to keep fft_size at 2048
+    # at 48 kHz (src/world/constantnumbers.h:28-30); the RTF claim is
+    # demonstrated at that flagship configuration too.
+    x48 = np.fromfile("tests/goldens_fs48/x.f64").astype(np.float32)
+    step48 = make_batch_step(48000, len(x48), rng_mode="fast",
+                             f0_method="harvest")
+
+    def fresh48():
+        return jnp.asarray(
+            x48[None, :] * (0.5 + rng.random((BATCH, 1), dtype=np.float32)))
+
+    dt48 = _timed(step48, tail4, fresh48, iters=3)
+    result["harvest_pipeline_rtf_48k"] = round(
+        BATCH * len(x48) / 48000 / dt48, 2)
+
     # ---- sustained corpus throughput (production path) -----------------
     # End-to-end BatchedCorpusRunner: wav read -> double-buffered device
     # steps -> FULL result fetch -> reference-format parameter files.
@@ -169,25 +185,37 @@ def main():
     corpus_dir = tempfile.mkdtemp(prefix="world_bench_corpus_")
     try:
         n_utt = 4 * BATCH
+        # 2*BATCH extra warmup-only files (one batch per output config):
+        # the runtime memoizes repeat executions by input content, so the
+        # timed runs must only see content never submitted before
         paths = []
-        # + BATCH extra warmup-only files: the runtime memoizes repeat
-        # executions by input content, so the timed run must only see
-        # content never submitted before
-        for i in range(n_utt + BATCH):
+        for i in range(n_utt * 2 + 2 * BATCH):
             scale = 0.5 + 0.45 * rng.random()  # entropy-fresh content
             p = os.path.join(corpus_dir, f"u{i:03d}.wav")
             wavwrite((x * scale).astype(np.float64), fs, p)
             paths.append(p)
-        kw = dict(fs=fs, bucket_sizes=[len(x)], batch_size=BATCH,
-                  f0_method="harvest", log=lambda *a: None)
-        # warmup run compiles the with_synthesis=False step
-        BatchedCorpusRunner(os.path.join(corpus_dir, "warm"), **kw) \
-            .run(paths[n_utt:])
-        m = BatchedCorpusRunner(os.path.join(corpus_dir, "out"), **kw) \
-            .run(paths[:n_utt])
-        assert m["utterances_failed"] == 0 and m["utterances_done"] == n_utt
-        result["corpus_rtf_sustained"] = m["realtime_factor"]
-        result["corpus_frames_per_second"] = m["frames_per_second"]
+        base = dict(fs=fs, bucket_sizes=[len(x)], batch_size=BATCH,
+                    f0_method="harvest", log=lambda *a: None)
+        # Production config: on-device codec + float32 npz output —
+        # a (B,F,fft/2+1) tensor never crosses the ~13 MB/s tunnel.
+        prod = dict(base, output_format="npz", codec_dims=64)
+        for tag, kw, lo in (("corpus_rtf_sustained", prod, 0),
+                            ("corpus_rtf_ref_format", base, n_utt)):
+            # warmup run compiles this config's step (shared afterwards
+            # via the memoized get_batch_step)
+            BatchedCorpusRunner(
+                os.path.join(corpus_dir, f"warm_{tag}"), **kw) \
+                .run(paths[2 * n_utt + (0 if lo == 0 else BATCH):
+                           2 * n_utt + (BATCH if lo == 0 else 2 * BATCH)])
+            m = BatchedCorpusRunner(
+                os.path.join(corpus_dir, f"out_{tag}"), **kw) \
+                .run(paths[lo: lo + n_utt])
+            assert m["utterances_failed"] == 0 \
+                and m["utterances_done"] == n_utt
+            result[tag] = m["realtime_factor"]
+            if lo == 0:
+                result["corpus_frames_per_second"] = \
+                    m["frames_per_second"]
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
 
@@ -291,20 +319,49 @@ def main():
     # Paced at real time: per-buffer lag behind its feed-complete time
     # (buffer b needs parameters through frame ceil(((b+1)*bs)/fs/5ms)+1;
     # its lag is avail_time - that frame's feed time).  The steady-state
-    # max over the tail is the stream's bounded latency.
-    call_ms, avail, feed_t, wall, rendered, holds = frame_feed(paced=True)
-    nb = len(avail)
-    need = np.minimum((np.ceil((np.arange(1, nb + 1) * bs)
-                                / (frame_s * fs)) + 1).astype(int),
-                      len(feed_t) - 1)
-    lag_ms = 1e3 * (avail - np.asarray(feed_t)[need])
-    prime = min(32, nb // 2)
-    streaming["paced_latency_ms_max"] = round(float(lag_ms[prime:].max()), 1)
+    # max over the tail is the stream's bounded latency.  Three runs so
+    # the p99/max are a distribution, not one lucky draw.
+    lag_runs, max_calls, holds_total = [], [], 0
+    for _ in range(3):
+        call_ms, avail, feed_t, wall, rendered, holds = frame_feed(
+            paced=True)
+        nb = len(avail)
+        need = np.minimum((np.ceil((np.arange(1, nb + 1) * bs)
+                                    / (frame_s * fs)) + 1).astype(int),
+                          len(feed_t) - 1)
+        lag_ms = 1e3 * (avail - np.asarray(feed_t)[need])
+        prime = min(32, nb // 2)
+        lag_runs.append(lag_ms[prime:])
+        streaming.setdefault("paced_priming_ms", round(
+            float(lag_ms[:prime].max()), 1))
+        max_calls.append(float(call_ms.max()))
+        holds_total += int(holds)
+    lag_all = np.concatenate(lag_runs)
+    streaming["paced_latency_ms_max"] = round(float(lag_all.max()), 1)
+    streaming["paced_latency_ms_p99"] = round(
+        float(np.percentile(lag_all, 99)), 1)
     streaming["paced_latency_ms_p50"] = round(
-        float(np.percentile(lag_ms[prime:], 50)), 1)
-    streaming["paced_priming_ms"] = round(float(lag_ms[:prime].max()), 1)
-    streaming["paced_max_call_ms"] = round(float(call_ms.max()), 3)
-    streaming["paced_holds"] = int(holds)
+        float(np.percentile(lag_all, 50)), 1)
+    streaming["paced_runs"] = len(lag_runs)
+    streaming["paced_max_call_ms"] = round(max(max_calls), 3)
+    streaming["paced_holds"] = holds_total
+
+    # Latency floor of this environment: one minimal dispatch+fetch
+    # round trip through the tunnel (pre-compiled identity-ish graph,
+    # entropy-fresh scalar input so the content cache can't short-cut).
+    tiny = jax.jit(lambda v: v * 1.000001 + 1.0)
+    _ = np.asarray(tiny(jnp.float32(rng.random())))  # compile
+    rts = []
+    for _ in range(25):
+        v = jnp.float32(rng.random())
+        t0 = time.perf_counter()
+        np.asarray(tiny(v))
+        rts.append(1e3 * (time.perf_counter() - t0))
+    streaming["dispatch_fetch_floor_ms_p50"] = round(
+        float(np.percentile(rts, 50)), 1)
+    # One rendered 64-sample buffer inherently needs >= 1 round trip
+    # (dispatch+fetch) after its parameters arrive; the steady-state
+    # paced lag above is measured against this floor.
     result["streaming"] = streaming
 
     rtf = result["harvest_pipeline_rtf"]

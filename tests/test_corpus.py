@@ -2,6 +2,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from world_tpu.io.audio import wavwrite
 from world_tpu.utils.corpus import CorpusRunner
@@ -170,3 +171,108 @@ def test_batched_corpus_step_fallback(tmp_path):
     for i in range(2):
         for ext in (".f0", ".sp", ".ap"):
             assert (tmp_path / "out2" / f"v{i}{ext}").exists()
+
+
+def test_batched_corpus_npz_codec(tmp_path):
+    """Production output mode: on-device-coded sp/ap stored as float32
+    npz.  The stored coded arrays must match coding the full-resolution
+    batched outputs, and load_npz_parameters must restore full-size
+    (decoded) parameters."""
+    import jax.numpy as jnp
+
+    from world_tpu import config
+    from world_tpu.io.audio import wavwrite
+    from world_tpu.io.parameterio import load_npz_parameters, read_npz
+    from world_tpu.models.codec import (code_aperiodicity,
+                                        code_spectral_envelope)
+    from world_tpu.parallel.pipeline import make_batch_step
+    from world_tpu.utils.corpus import BatchedCorpusRunner
+
+    fs = 16000
+    dims = 32
+    rng = np.random.RandomState(7)
+    paths, waves = [], []
+    for i, n in enumerate((4000, 5200)):
+        t = np.arange(n) / fs
+        x = 0.3 * np.sin(2 * np.pi * 150.0 * t) + 0.01 * rng.randn(n)
+        p = tmp_path / f"w{i}.wav"
+        wavwrite(x.astype(np.float64), fs, str(p))
+        paths.append(str(p))
+        waves.append(x)
+
+    out = tmp_path / "npz_out"
+    runner = BatchedCorpusRunner(str(out), fs, bucket_sizes=[6000],
+                                 batch_size=2, f0_method="dio",
+                                 output_format="npz", codec_dims=dims,
+                                 log=lambda *a: None)
+    m = runner.run(paths)
+    assert m["utterances_done"] == 2 and m["utterances_failed"] == 0
+
+    # reference full-resolution batched outputs on the same padded rows
+    from world_tpu.io.audio import wavread
+    rows = np.zeros((2, 6000), np.float32)
+    for i, p in enumerate(paths):
+        x, _, _ = wavread(p)
+        rows[i, : len(x)] = x
+    step_full = make_batch_step(fs, 6000, f0_method="dio",
+                                with_synthesis=False)
+    f0b, spb, apb = step_full(jnp.asarray(rows))[:3]
+    fft_size = config.get_fft_size_for_cheaptrick(fs)
+
+    for i, p in enumerate(paths):
+        d = read_npz(str(out / f"w{i}.npz"))
+        nf = d["f0"].shape[0]
+        assert d["coded_sp"].shape == (nf, dims)
+        assert d["coded_sp"].dtype == np.float32
+        want_sp = np.asarray(code_spectral_envelope(
+            np.asarray(spb[i][:nf]), fs, dims, fft_size))
+        np.testing.assert_allclose(d["coded_sp"], want_sp, rtol=2e-4,
+                                   atol=2e-4)
+        want_ap = np.asarray(code_aperiodicity(
+            np.asarray(apb[i][:nf]), fs, fft_size))
+        np.testing.assert_allclose(d["coded_ap"], want_ap, rtol=2e-4,
+                                   atol=2e-4)
+        np.testing.assert_allclose(d["f0"], np.asarray(f0b[i][:nf]),
+                                   rtol=1e-5)
+
+        # full-resolution restore goes through the codec decoder
+        f0r, spr, apr, info = load_npz_parameters(str(out / f"w{i}.npz"))
+        assert spr.shape == (nf, fft_size // 2 + 1)
+        assert apr.shape == (nf, fft_size // 2 + 1)
+        assert info["fs"] == fs and info["fft_size"] == fft_size
+        assert np.isfinite(spr).all() and (spr > 0).all()
+        assert (apr > 0).all() and (apr <= 1.0).all()
+
+    # resume skips everything
+    m2 = BatchedCorpusRunner(str(out), fs, bucket_sizes=[6000],
+                             batch_size=2, f0_method="dio",
+                             output_format="npz", codec_dims=dims,
+                             log=lambda *a: None).run(paths)
+    assert m2["utterances_skipped"] == 2 and m2["utterances_done"] == 0
+
+
+def test_batched_corpus_npz_fallback_full_res(tmp_path):
+    """When the device step keeps failing, the per-file fallback writes
+    full-resolution npz (no coded arrays) that load_npz_parameters
+    restores transparently."""
+    from world_tpu.io.parameterio import load_npz_parameters, read_npz
+
+    runner, paths, calls = _flaky_batched_runner(tmp_path, "npz_fb", 99)
+    runner.output_format = "npz"
+    runner.codec_dims = 16
+    m = runner.run(paths)
+    assert m["utterances_done"] == 2 and m["utterances_failed"] == 0
+    for i in range(2):
+        d = read_npz(str(tmp_path / "npz_fb" / f"v{i}.npz"))
+        assert "spectrogram" in d and "coded_sp" not in d
+        f0r, spr, apr, info = load_npz_parameters(
+            str(tmp_path / "npz_fb" / f"v{i}.npz"))
+        assert spr.shape[1] == info["fft_size"] // 2 + 1
+
+
+def test_corpus_codec_requires_npz(tmp_path):
+    from world_tpu.utils.corpus import BatchedCorpusRunner
+
+    with pytest.raises(ValueError):
+        BatchedCorpusRunner(str(tmp_path / "x"), 16000, [4000],
+                            codec_dims=32, output_format="ref")

@@ -88,3 +88,54 @@ def test_header_information():
     assert parameterio.get_header_information(path, "FP  ") == 5.0
     assert parameterio.get_header_information(path, "NOF ") == 159
     assert parameterio.get_header_information(path, "FFT ") == 64
+
+
+def test_npz_roundtrip_full(tmp_path):
+    """write_npz/read_npz/load_npz_parameters with full-resolution
+    arrays: float32 storage, exact scalar metadata."""
+    rng = np.random.RandomState(11)
+    F, K = 12, 33
+    f0 = np.abs(rng.randn(F)) * 100
+    sp = np.abs(rng.randn(F, K)) + 0.5
+    ap = np.clip(np.abs(rng.randn(F, K)) * 0.3, 1e-3, 1 - 1e-12)
+    p = str(tmp_path / "u.npz")
+    parameterio.write_npz(p, f0, 16000, 5.0, 64, spectrogram=sp,
+                          aperiodicity=ap)
+    d = parameterio.read_npz(p)
+    assert d["f0"].dtype == np.float32
+    np.testing.assert_allclose(d["spectrogram"], sp, rtol=1e-6)
+    f0r, spr, apr, info = parameterio.load_npz_parameters(p)
+    assert f0r.dtype == np.float64
+    assert info == {"fs": 16000, "frame_period": 5.0, "fft_size": 64}
+    np.testing.assert_allclose(spr, sp, rtol=1e-6)
+    np.testing.assert_allclose(apr, ap, rtol=1e-6)
+
+
+def test_npz_roundtrip_coded(tmp_path):
+    """Coded npz restores full-resolution sp/ap through the codec with
+    the same result as decoding the coded arrays directly."""
+    from world_tpu.models.codec import (code_aperiodicity,
+                                        code_spectral_envelope,
+                                        decode_aperiodicity,
+                                        decode_spectral_envelope)
+
+    fs, fft_size, dims = 16000, 512, 24
+    rng = np.random.RandomState(12)
+    F, K = 9, fft_size // 2 + 1
+    f0 = np.abs(rng.randn(F)) * 100
+    sp = np.exp(rng.randn(F, K) * 0.5)
+    ap = np.clip(np.abs(rng.randn(F, K)) * 0.3, 1e-3, 1 - 1e-12)
+    csp = np.asarray(code_spectral_envelope(sp, fs, dims, fft_size),
+                     np.float32)
+    cap = np.asarray(code_aperiodicity(ap, fs, fft_size), np.float32)
+    p = str(tmp_path / "c.npz")
+    parameterio.write_npz(p, f0, fs, 5.0, fft_size, coded_sp=csp,
+                          coded_ap=cap)
+    f0r, spr, apr, info = parameterio.load_npz_parameters(p)
+    want_sp = np.asarray(decode_spectral_envelope(
+        csp.astype(np.float64), fs, fft_size))
+    want_ap = np.asarray(decode_aperiodicity(
+        cap.astype(np.float64), fs, fft_size))
+    np.testing.assert_allclose(spr, want_sp, rtol=1e-12)
+    np.testing.assert_allclose(apr, want_ap, rtol=1e-12)
+    assert spr.shape == (F, K) and apr.shape == (F, K)

@@ -105,3 +105,76 @@ def test_scaling_cli_smoke():
     assert [r["devices"] for r in rec["rows"]] == [1, 2]
     assert all(r["throughput_xrt"] > 0 for r in rec["rows"])
     assert rec["rows"][0]["efficiency"] == 1.0
+
+
+def _allgather_bytes(hlo_text):
+    """Total bytes moved by all-gather ops in compiled HLO."""
+    import re
+    sizes = {"f32": 4, "f64": 8, "s32": 4, "s64": 8, "u32": 4, "pred": 1,
+             "c64": 8, "c128": 16, "bf16": 2, "f16": 2}
+    total = 0
+    for line in hlo_text.splitlines():
+        if "all-gather" not in line or "=" not in line:
+            continue
+        m = re.search(r"=\s*(\w+)\[([\d,]*)\]", line)
+        if m:
+            dims = [int(d) for d in m.group(2).split(",") if d]
+            total += int(np.prod(dims)) * sizes.get(m.group(1), 4) \
+                if dims else sizes.get(m.group(1), 4)
+    return total
+
+
+def test_frame_axis_shards_compute_and_memory():
+    """The 'frame' mesh axis must PARTITION the per-frame sp/ap compute,
+    not merely constrain output layouts (a GSPMD regression to
+    replicated compute would pass pure equality tests).  Asserted via
+    the compiled executable itself:
+
+    - per-device output shards are (B/d, F/f, K) — outputs really live
+      1/(d*f)-sized on each device;
+    - per-device temp memory shrinks by >2x vs the unsharded step
+      (replicated frame compute would keep it ~1x);
+    - with F divisible by n_frame, the harvest step compiles to ZERO
+      all-gather bytes — no collective ever carries a spectral tensor
+      (the waveform is replicated along 'frame' from the start).
+    """
+    fs = 22050
+    n = 8768  # -> F = 80 frames: divisible by every n_frame used here
+    F, K = 80, 1025
+    B = 2
+    xb = jnp.zeros((B, n), jnp.float32)
+
+    plain = make_batch_step(fs, n, rng_mode="fast", f0_method="dio",
+                            with_synthesis=False)
+    t_plain = plain.lower(xb).compile().memory_analysis() \
+        .temp_size_in_bytes
+
+    mesh = make_mesh(n_data=2, n_frame=4)
+    sharded = make_batch_step(fs, n, rng_mode="fast", f0_method="dio",
+                              mesh=mesh, with_synthesis=False)
+    xs = jax.device_put(xb, NamedSharding(mesh, P("data", None)))
+    comp = sharded.lower(xs).compile()
+
+    f0_sh, sp_sh, ap_sh, _ = comp.output_shardings
+    assert sp_sh.shard_shape((B, F, K)) == (B // 2, F // 4, K), sp_sh
+    assert ap_sh.shard_shape((B, F, K)) == (B // 2, F // 4, K), ap_sh
+    assert f0_sh.shard_shape((B, F)) == (B // 2, F // 4), f0_sh
+
+    t_sharded = comp.memory_analysis().temp_size_in_bytes
+    assert t_sharded < 0.5 * t_plain, (t_sharded, t_plain)
+
+    # harvest, frame-only mesh: no all-gather at all in the analysis step
+    mesh_f = make_mesh(n_data=1, n_frame=8)
+    sharded_h = make_batch_step(fs, n, rng_mode="fast",
+                                f0_method="harvest", mesh=mesh_f,
+                                with_synthesis=False)
+    xs_f = jax.device_put(xb, NamedSharding(mesh_f, P("data", None)))
+    comp_h = sharded_h.lower(xs_f).compile()
+    ag = _allgather_bytes(comp_h.as_text())
+    assert ag == 0, f"harvest frame-sharded step all-gathers {ag} bytes"
+
+
+def test_frame_axis_requires_inexact_rng():
+    mesh = make_mesh(n_data=1, n_frame=8)
+    with pytest.raises(ValueError):
+        make_batch_step(22050, 4096, rng_mode="exact", mesh=mesh)

@@ -68,3 +68,27 @@ def get_audio_length(filename):
     except (ValueError, OSError):
         return -1
     return len(x)
+
+
+def peek_header(filename):
+    """Parse only the RIFF header: returns (n_samples, fs) without
+    reading the sample data.  Used by the corpus runner to assign bucket
+    lengths before the threaded batch loader reads the audio.
+    Raises ValueError on malformed/unsupported files (same conditions as
+    wavread)."""
+    with open(filename, "rb") as f:
+        head = f.read(4096)
+    if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    if head[12:16] != b"fmt " or struct.unpack("<I", head[16:20])[0] != 16:
+        raise ValueError("unsupported fmt chunk")
+    fmt, channels = struct.unpack("<HH", head[20:24])
+    if fmt != 1 or channels != 1:
+        raise ValueError("only mono integer PCM supported")
+    fs = struct.unpack("<I", head[24:28])[0]
+    nbit = struct.unpack("<H", head[34:36])[0]
+    pos = head.find(b"data", 36)
+    if pos < 0 or pos + 8 > len(head):
+        raise ValueError("no data chunk")
+    n_bytes = struct.unpack("<I", head[pos + 4: pos + 8])[0]
+    return n_bytes // (nbit // 8), fs

@@ -115,6 +115,59 @@ def read_aperiodicity(filename):
     return _read_matrix(filename, b"AP  ")
 
 
+def write_npz(filename, f0, fs, frame_period, fft_size, *,
+              spectrogram=None, aperiodicity=None, coded_sp=None,
+              coded_ap=None, dtype=np.float32):
+    """Array-native corpus output: one .npz per utterance.
+
+    The reference's tagged files are the interop checkpoint format; this
+    is the compact production format for sharded corpus runs (float32,
+    optionally codec-compressed sp/ap — ~10-40x smaller than the f64
+    tagged triple).  No reference analogue (SURVEY §5 checkpoint/resume
+    names npz/zarr as the array-native companion format).
+    """
+    arrays = {"f0": np.asarray(f0, dtype),
+              "fs": np.int32(fs),
+              "frame_period": np.float64(frame_period),
+              "fft_size": np.int32(fft_size)}
+    for name, a in (("spectrogram", spectrogram),
+                    ("aperiodicity", aperiodicity),
+                    ("coded_sp", coded_sp), ("coded_ap", coded_ap)):
+        if a is not None:
+            arrays[name] = np.asarray(a, dtype)
+    np.savez(filename, **arrays)
+
+
+def read_npz(filename):
+    """Returns the raw dict written by write_npz (arrays + scalars)."""
+    with np.load(filename) as z:
+        return {k: z[k] for k in z.files}
+
+
+def load_npz_parameters(filename):
+    """Read an npz parameter file and return full-resolution
+    (f0, spectrogram, aperiodicity, info) — decoding coded sp/ap through
+    the codec (models/codec.py) when the compact form was stored."""
+    d = read_npz(filename)
+    fs = int(d["fs"])
+    fft_size = int(d["fft_size"])
+    info = dict(fs=fs, frame_period=float(d["frame_period"]),
+                fft_size=fft_size)
+    if "spectrogram" in d:
+        sp = d["spectrogram"]
+    else:
+        from ..models.codec import decode_spectral_envelope
+        sp = np.asarray(decode_spectral_envelope(
+            d["coded_sp"].astype(np.float64), fs, fft_size))
+    if "aperiodicity" in d:
+        ap = d["aperiodicity"]
+    else:
+        from ..models.codec import decode_aperiodicity
+        ap = np.asarray(decode_aperiodicity(
+            d["coded_ap"].astype(np.float64), fs, fft_size))
+    return d["f0"].astype(np.float64), sp, ap, info
+
+
 def get_header_information(filename, parameter):
     """GetHeaderInformation (tools/parameterio.cpp:119-144)."""
     tag = parameter.encode() if isinstance(parameter, str) else parameter

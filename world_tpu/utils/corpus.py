@@ -7,12 +7,20 @@ framework adds what the single-file C++ never needed: a job runner that
 records completed utterances so a preempted run resumes where it left
 off, retries transient per-utterance failures, and reports structured
 throughput metrics (frames/s, aggregate real-time factor) per shard.
+
+The batched runner is the production path: native threaded wav loading,
+double-buffered device dispatch, a concurrent fetch pool for the
+device->host tunnel (fetches overlap ~3x across threads on this
+backend), a background writer pool, and an optional on-device codec +
+float32 npz output format that shrinks both the fetched bytes and the
+files ~10-40x vs the f64 reference-format triple.
 """
 
 import json
 import os
 import time
 import traceback
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -63,11 +71,21 @@ class CorpusRunner:
             checkpoint or os.path.join(out_dir, "checkpoint.jsonl"))
         self.log = log
 
+    def _write_utt(self, stem, f0, sp, ap, fs, fft_size):
+        """Write one utterance's parameters (f64 reference format;
+        subclasses may emit the compact npz form instead)."""
+        from ..io.parameterio import (write_aperiodicity, write_f0,
+                                      write_spectral_envelope)
+        write_f0(stem + ".f0", np.asarray(f0, np.float64),
+                 self.frame_period)
+        write_spectral_envelope(stem + ".sp", np.asarray(sp, np.float64),
+                                fs, self.frame_period, fft_size)
+        write_aperiodicity(stem + ".ap", np.asarray(ap, np.float64),
+                           fs, self.frame_period, fft_size)
+
     def _process_one(self, wav_path):
         from .. import analyze
         from ..io.audio import wavread
-        from ..io.parameterio import (write_aperiodicity, write_f0,
-                                      write_spectral_envelope)
 
         x, fs, _ = wavread(wav_path)
         params = analyze(x, fs, self.frame_period, f0_method=self.f0_method,
@@ -75,12 +93,10 @@ class CorpusRunner:
         stem = os.path.join(
             self.out_dir,
             os.path.splitext(os.path.basename(wav_path))[0])
-        write_f0(stem + ".f0", np.asarray(params.f0), self.frame_period)
-        write_spectral_envelope(stem + ".sp",
-                                np.asarray(params.spectrogram), fs,
-                                self.frame_period, params.fft_size)
-        write_aperiodicity(stem + ".ap", np.asarray(params.aperiodicity),
-                           fs, self.frame_period, params.fft_size)
+        self._write_utt(stem, np.asarray(params.f0),
+                        np.asarray(params.spectrogram),
+                        np.asarray(params.aperiodicity), fs,
+                        params.fft_size)
         return len(x) / fs, params.f0.shape[0]
 
     def run(self, wav_paths):
@@ -139,70 +155,132 @@ class BatchedCorpusRunner(CorpusRunner):
     pod").  Parameter files, checkpointing and retries behave like the
     per-file runner; frames beyond each utterance's true length are
     cropped before writing.
+
+    Host-side engineering (the device step is ~150x faster than a naive
+    host loop, so everything here exists to keep the host off the
+    critical path):
+
+    - wav reading through the native multithreaded batch loader
+      (native/worldio.cpp via io/native.py; Python fallback);
+    - double-buffered dispatch: batch k computes on device while batch
+      k-1 is fetched and written;
+    - results cross the tunnel through a concurrent fetch pool
+      (device->host fetches overlap ~3x across threads, measured — see
+      models/realtime.py's render worker which established the pattern);
+    - file writes run on a background writer pool;
+    - ``output_format="npz"`` stores float32 arrays (np.savez) instead
+      of the f64 tagged triple; with ``codec_dims`` set the step
+      additionally codes sp/ap ON DEVICE (models/codec.py), so a
+      (B,F,fft/2+1) float tensor never crosses the tunnel at all.
+      io.parameterio.load_npz_parameters restores full-resolution
+      parameters from either npz flavor.
     """
 
     def __init__(self, out_dir, fs, bucket_sizes, batch_size=16,
-                 frame_period=5.0, f0_method="harvest", mesh=None, **kw):
+                 frame_period=5.0, f0_method="harvest", mesh=None,
+                 output_format="ref", codec_dims=None, fetch_threads=6,
+                 writer_threads=2, **kw):
         super().__init__(out_dir, frame_period=frame_period,
                          f0_method=f0_method, **kw)
+        if output_format not in ("ref", "npz"):
+            raise ValueError(f"unknown output_format {output_format!r}")
+        if codec_dims is not None and output_format != "npz":
+            raise ValueError("codec_dims requires output_format='npz' "
+                             "(the tagged reference format stores "
+                             "full-resolution sp/ap)")
         self.fs = fs
         self.bucket_sizes = sorted(bucket_sizes)
         self.batch_size = batch_size
         self.mesh = mesh
-        self._steps = {}
+        self.output_format = output_format
+        self.codec_dims = codec_dims
+        self.fetch_threads = fetch_threads
+        self.writer_threads = writer_threads
 
     def _step_for(self, length):
-        if length not in self._steps:
-            from ..parallel.pipeline import make_batch_step
-            self._steps[length] = make_batch_step(
-                self.fs, length, frame_period=self.frame_period,
-                rng_mode=self.rng_mode, mesh=self.mesh,
-                f0_method=self.f0_method, with_synthesis=False)
-        return self._steps[length]
+        from ..parallel.pipeline import get_batch_step
+        return get_batch_step(
+            self.fs, length, frame_period=self.frame_period,
+            rng_mode=self.rng_mode, mesh=self.mesh,
+            f0_method=self.f0_method, with_synthesis=False,
+            codec_dims=self.codec_dims)
+
+    def _write_utt(self, stem, f0, sp, ap, fs, fft_size):
+        if self.output_format == "ref":
+            return super()._write_utt(stem, f0, sp, ap, fs, fft_size)
+        from ..io.parameterio import write_npz
+        if self.codec_dims is not None and sp.shape[1] <= self.codec_dims:
+            # batched path: sp/ap arrive already coded on device
+            write_npz(stem + ".npz", f0, fs, self.frame_period, fft_size,
+                      coded_sp=sp, coded_ap=ap)
+        else:
+            # per-file fallback path delivers full-resolution arrays
+            write_npz(stem + ".npz", f0, fs, self.frame_period, fft_size,
+                      spectrogram=sp, aperiodicity=ap)
+        return None
+
+    def _load_rows(self, batch_paths, length):
+        """Read a batch of wavs into padded float32 rows via the native
+        threaded loader.  Returns (rows, lengths, failed_row_indices)."""
+        from ..io.native import load_batch
+        rows, lengths, fs, failed = load_batch(batch_paths, length)
+        ok = [i for i in range(len(batch_paths)) if i not in failed]
+        if ok and fs and fs != self.fs:
+            raise ValueError(f"fs {fs} != runner fs {self.fs}")
+        return rows, lengths, failed
 
     def run(self, wav_paths):
         import jax.numpy as jnp
 
         from .. import config
-        from ..io.audio import wavread
-        from ..io.parameterio import (write_aperiodicity, write_f0,
-                                      write_spectral_envelope)
-        from ..parallel.pipeline import pad_and_bucket
+        from ..io.audio import peek_header
 
         t_start = time.time()
         audio_seconds = 0.0
         frames = 0
         n_done = n_skipped = n_failed = 0
+        fetch_pool = ThreadPoolExecutor(self.fetch_threads)
+        writer_pool = ThreadPoolExecutor(self.writer_threads)
+        write_futures = []
 
-        todo = []
+        # ---- assign buckets from wav headers only (cheap peek) --------
+        buckets = {}  # bucket_len -> list of paths
         for p in wav_paths:
-            if self.checkpoint.is_done(os.path.basename(p)):
+            key = os.path.basename(p)
+            if self.checkpoint.is_done(key):
                 n_skipped += 1
-            else:
-                todo.append(p)
-        waves = []
-        paths = []
-        for p in todo:
+                continue
             try:
-                x, fs, _ = wavread(p)
+                n, fs = peek_header(p)
                 if fs != self.fs:
                     raise ValueError(f"fs {fs} != runner fs {self.fs}")
-                waves.append(np.asarray(x, np.float32))
-                paths.append(p)
-            except Exception as e:  # noqa: BLE001 — record and continue
-                self.checkpoint.mark(os.path.basename(p), status="failed",
+                b = next((b for b in self.bucket_sizes if n <= b), None)
+                if b is None:
+                    raise ValueError(
+                        f"{n} samples exceeds largest bucket")
+            except (ValueError, OSError) as e:
+                self.checkpoint.mark(key, status="failed",
                                      error=f"{type(e).__name__}: {e}")
                 n_failed += 1
+                continue
+            buckets.setdefault(b, []).append(p)
 
-        buckets = pad_and_bucket(waves, self.bucket_sizes)
         fft_size = config.get_fft_size_for_cheaptrick(self.fs)
 
+        def write_one(stem, key, f0r, spr, apr, secs, nf):
+            try:
+                self._write_utt(stem, f0r, spr, apr, self.fs, fft_size)
+                return (key, "ok", secs, nf, None)
+            except Exception as e:  # noqa: BLE001 — recorded per-file
+                return (key, "failed", secs, nf,
+                        f"{type(e).__name__}: {e}")
+
         def complete(pending):
-            """Fetch a dispatched batch's results (retrying the step on
-            failure, falling back to the per-file runner if it keeps
-            failing) and write the parameter files."""
+            """Fetch a dispatched batch's results through the fetch pool
+            (retrying the step on failure, falling back to the per-file
+            runner if it keeps failing) and queue the file writes."""
             nonlocal audio_seconds, frames, n_done, n_failed
-            handles, rows, length, b0, idx, lengths = pending
+            handles, rows, length, batch_paths, lengths = pending
             step = self._step_for(length)
             out = None
             # Transient device-step failures are retried like the
@@ -217,66 +295,66 @@ class BatchedCorpusRunner(CorpusRunner):
                 try:
                     if handles is None:
                         handles = step(jnp.asarray(rows))
-                    f0b, spb, apb = handles[0], handles[1], handles[2]
-                    out = (np.asarray(f0b), np.asarray(spb),
-                           np.asarray(apb))
+                    # Concurrent fetch: each output array crosses the
+                    # tunnel on its own pool thread (~3x overlap).
+                    futs = [fetch_pool.submit(np.asarray, h)
+                            for h in handles[:3]]
+                    out = [f.result() for f in futs]
                     break
                 except Exception as e:  # noqa: BLE001 — retry/fall back
                     handles = None
-                    self.log(f"[corpus] batch step (len {length}, "
-                             f"offset {b0}) attempt {attempt + 1} "
-                             f"failed: {type(e).__name__}: {e}")
+                    self.log(f"[corpus] batch step (len {length}) "
+                             f"attempt {attempt + 1} failed: "
+                             f"{type(e).__name__}: {e}")
             if out is None:
-                batch_paths = [paths[idx[b0 + row]] for row in
-                               range(min(self.batch_size, len(idx) - b0))]
-                m = CorpusRunner.run(self, batch_paths)
+                m = CorpusRunner.run(
+                    self, [p for i, p in enumerate(batch_paths)
+                           if lengths[i] > 0])
                 n_done += m["utterances_done"]
                 n_failed += m["utterances_failed"]
                 audio_seconds += m["audio_seconds"]
                 frames += m["frames"]
                 return
             f0b, spb, apb = out
-            for row in range(min(self.batch_size, len(idx) - b0)):
-                i = idx[b0 + row]
-                true_len = int(lengths[b0 + row])
+            for row, p in enumerate(batch_paths):
+                true_len = int(lengths[row])
+                if true_len == 0:
+                    continue  # load failure, already recorded
                 nf = config.get_samples_for_dio(
                     self.fs, true_len, self.frame_period)
                 stem = os.path.join(self.out_dir, os.path.splitext(
-                    os.path.basename(paths[i]))[0])
-                try:
-                    write_f0(stem + ".f0", f0b[row][:nf].astype(
-                        np.float64), self.frame_period)
-                    write_spectral_envelope(
-                        stem + ".sp", spb[row][:nf].astype(np.float64),
-                        self.fs, self.frame_period, fft_size)
-                    write_aperiodicity(
-                        stem + ".ap", apb[row][:nf].astype(np.float64),
-                        self.fs, self.frame_period, fft_size)
-                    self.checkpoint.mark(
-                        os.path.basename(paths[i]), status="ok",
-                        seconds=true_len / self.fs, frames=nf)
-                    audio_seconds += true_len / self.fs
-                    frames += nf
-                    n_done += 1
-                except Exception as e:  # noqa: BLE001
-                    self.checkpoint.mark(
-                        os.path.basename(paths[i]), status="failed",
-                        error=f"{type(e).__name__}: {e}")
-                    n_failed += 1
+                    os.path.basename(p))[0])
+                write_futures.append(writer_pool.submit(
+                    write_one, stem, os.path.basename(p),
+                    f0b[row][:nf], spb[row][:nf], apb[row][:nf],
+                    true_len / self.fs, nf))
 
-        # Double-buffered: dispatch batch k (async), then fetch + write
-        # batch k-1 while the device crunches k — host file I/O and the
-        # ~27 ms per-call dispatch overhead hide behind device compute
-        # instead of serializing with it.
+        # ---- double-buffered dispatch loop ----------------------------
         inflight = None
-        for length, (arr, lengths, idx) in sorted(buckets.items()):
+        for length in sorted(buckets):
+            paths_b = buckets[length]
             step = self._step_for(length)
-            for b0 in range(0, len(idx), self.batch_size):
-                rows = arr[b0: b0 + self.batch_size]
-                pad = self.batch_size - len(rows)
-                if pad:
-                    rows = np.concatenate(
-                        [rows, np.zeros((pad, length), np.float32)])
+            for b0 in range(0, len(paths_b), self.batch_size):
+                batch_paths = paths_b[b0: b0 + self.batch_size]
+                try:
+                    rows, lengths, failed = self._load_rows(
+                        batch_paths, length)
+                except Exception as e:  # noqa: BLE001 — whole batch
+                    for p in batch_paths:
+                        self.checkpoint.mark(
+                            os.path.basename(p), status="failed",
+                            error=f"{type(e).__name__}: {e}")
+                        n_failed += 1
+                    continue
+                for i in failed:
+                    self.checkpoint.mark(
+                        os.path.basename(batch_paths[i]), status="failed",
+                        error="load failed (native batch loader)")
+                    n_failed += 1
+                if len(rows) < self.batch_size:
+                    rows = np.concatenate([rows, np.zeros(
+                        (self.batch_size - len(rows), length),
+                        np.float32)])
                 try:
                     handles = step(jnp.asarray(rows))
                 except Exception as e:  # noqa: BLE001 — retried at fetch
@@ -286,9 +364,24 @@ class BatchedCorpusRunner(CorpusRunner):
                              f"{type(e).__name__}: {e}")
                 if inflight is not None:
                     complete(inflight)
-                inflight = (handles, rows, length, b0, idx, lengths)
+                inflight = (handles, rows, length, batch_paths, lengths)
         if inflight is not None:
             complete(inflight)
+
+        # ---- drain writers, record checkpoint marks --------------------
+        for fut in write_futures:
+            key, status, secs, nf, err = fut.result()
+            if status == "ok":
+                self.checkpoint.mark(key, status="ok", seconds=secs,
+                                     frames=nf)
+                audio_seconds += secs
+                frames += nf
+                n_done += 1
+            else:
+                self.checkpoint.mark(key, status="failed", error=err)
+                n_failed += 1
+        fetch_pool.shutdown(wait=False)
+        writer_pool.shutdown(wait=False)
 
         wall = time.time() - t_start
         metrics = {
