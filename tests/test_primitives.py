@@ -138,3 +138,23 @@ def test_lti_block_filter_matches_scan():
         np.testing.assert_allclose(
             got2[:, k], run_scan(M, e, c, _B[0], x2[:, k]),
             rtol=1e-12, atol=1e-14)
+
+
+def test_window_slice_table_matches_vmap():
+    """window_slice_table == vmap(window_slice) bit-for-bit, including
+    edge-clamped reads that start before 0 / run past the end, for every
+    start % 8 residue and several window widths."""
+    import jax
+
+    rs = np.random.default_rng(11)
+    x = jnp.asarray(rs.standard_normal(1000))
+    for max_len in (1, 7, 64, 150, 389):
+        starts = jnp.asarray(np.concatenate([
+            np.arange(-max_len - 4, 20),            # left edge, all residues
+            rs.integers(0, 1000, 40),               # interior
+            np.arange(1000 - max_len - 4, 1004),    # right edge
+        ]).astype(np.int32))
+        want = np.asarray(jax.vmap(
+            lambda s: common.window_slice(x, s, max_len))(starts))
+        got = np.asarray(common.window_slice_table(x, starts, max_len))
+        np.testing.assert_array_equal(got, want)

@@ -1,7 +1,13 @@
 """Time just the batched Harvest F0 stage on the TPU (honest harness)."""
+import pathlib
+import sys
 import time
 
 import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:  # script lives in tools/, package at root
+    sys.path.insert(0, str(REPO))
 
 
 def main():

@@ -293,22 +293,56 @@ def _refine_frame_direct(seg_p, seg_m, c0f, posf, fs_t, hw_max, f0,
     off."""
     dtype = seg_p.dtype
     m_idx = jnp.arange(hw_max + 1)
-    m_f = m_idx.astype(dtype)
-    tmp_p = (c0f + m_f - 1.0) / fs_t - posf
-    tmp_m = (c0f - m_f - 1.0) / fs_t - posf
     hw = (1.5 * fs_t / f0 + 1.0).astype(jnp.int32)
     win_len = 2 * hw + 1
     wlt = win_len.astype(dtype) / fs_t
     in_win = m_idx <= hw
 
-    def main_window(tmp):
-        c2 = jnp.cos(2.0 * config.K_PI * tmp / wlt)
+    # The Blackman argument is a LINEAR phase ramp: tmp_p[j] = t0 + j/fs,
+    # tmp_m[j] = t0 - j/fs with t0 = (c0f-1)/fs - posf, so
+    #   cos(2pi tmp_p/wlt) = cos(a + j d) = cos a cos(j d) - sin a sin(j d)
+    #   cos(2pi tmp_m/wlt) = cos(a - j d) = cos a cos(j d) + sin a sin(j d)
+    # with a = 2pi t0/wlt, d = 2pi/(fs wlt) = 2pi/win_len.  cos/sin(j d)
+    # grow by the same radix-B angle addition as the DFT dots below: FOUR
+    # transcendentals per (frame, candidate) instead of 2*(hw_max+1)
+    # (~37% of the refine chunk loop was window cosines).  f32 chain
+    # error ~1e-5 — below the fast path's 0.1-cent budget (measured
+    # 0.006 cents vs the f64 golden, unchanged from the direct cos).
+    t0 = (c0f - 1.0) / fs_t - posf
+    a = 2.0 * config.K_PI * t0 / wlt
+    d = 2.0 * config.K_PI / win_len.astype(dtype)
+    Bw = 16
+    Ww = hw_max + 1
+    Qw = -(-Ww // Bw)
+    cd, sd = jnp.cos(d), jnp.sin(d)
+    crw, srw = [jnp.ones_like(cd)], [jnp.zeros_like(sd)]
+    for _ in range(Bw - 1):
+        crw.append(crw[-1] * cd - srw[-1] * sd)
+        srw.append(srw[-1] * cd + crw[-2] * sd)
+    crw = jnp.stack(crw)                  # (Bw,): cos(r d)
+    srw = jnp.stack(srw)
+    cBw, sBw = cd, sd
+    for _ in range(4):                    # Bw = 2**4 doublings
+        cBw, sBw = cBw * cBw - sBw * sBw, 2.0 * sBw * cBw
+    cqw, sqw = [jnp.ones_like(cd)], [jnp.zeros_like(sd)]
+    for _ in range(Qw - 1):
+        cqw.append(cqw[-1] * cBw - sqw[-1] * sBw)
+        sqw.append(sqw[-1] * cBw + cqw[-2] * sBw)
+    cqw = jnp.stack(cqw)                  # (Qw,): cos(Bw q d)
+    sqw = jnp.stack(sqw)
+    cosj = (cqw[:, None] * crw[None, :]
+            - sqw[:, None] * srw[None, :]).reshape(-1)[:Ww]
+    sinj = (sqw[:, None] * crw[None, :]
+            + cqw[:, None] * srw[None, :]).reshape(-1)[:Ww]
+    ca, sa = jnp.cos(a), jnp.sin(a)
+
+    def blackman(c2):
         # cos(2a) = 2cos^2(a)-1 halves the transcendental count.
         w = 0.42 + 0.5 * c2 + 0.08 * (2.0 * c2 * c2 - 1.0)
         return jnp.where(in_win, w, 0.0)
 
-    w_p = main_window(tmp_p)        # j = 0..hw_max
-    w_m = main_window(tmp_m)        # j = 0..-hw_max (reversed)
+    w_p = blackman(ca * cosj - sa * sinj)   # j = 0..hw_max
+    w_m = blackman(ca * cosj + sa * sinj)   # j = 0..-hw_max (reversed)
 
     # DiffWindow -(w[j+1]-w[j-1])/2 with one-sided edges at j=+-hw:
     # the masked-zero w beyond hw makes the interior formula produce
@@ -471,40 +505,87 @@ def _refine_all(y, fs_t, positions, cands, f0_floor, f0_ceil, sizes,
         # s < 7*C only), so chunking in ORIGINAL slot order covers the
         # same work as front-compaction without its two argsorts and
         # four per-lane take_along_axis gathers.
-        last_valid = jnp.max(jnp.where(~invalid,
-                                       jnp.arange(n_slots)[None, :], -1))
 
         # Frame-shared segments, computed once and pre-split into
         # plus/reversed-minus halves (the per-candidate fold then needs
         # no rev — see _refine_frame_direct).  The window time bases are
         # rebuilt inside the kernel from c0/positions scalars.
         c0 = matlab_round(positions * fs_t + 0.001)
-        segs = jax.vmap(
-            lambda c: common.window_slice(y, c - hw_max - 1, W))(c0)
+        # One row-gather for all frames' windows (the vmapped
+        # dynamic_slice lowers to a ~10 ms sequential while-of-slices).
+        segs = common.window_slice_table(
+            y, c0.astype(jnp.int32) - hw_max - 1, W)
         segs_p, segs_m = segs[:, hw_max:], segs[:, hw_max::-1]
 
         sc = 4
         s_pad = (-n_slots) % sc
         f0_filled = jnp.concatenate(
             [f0_filled, jnp.full((n_frames, s_pad), 100.0, y.dtype)], 1)
-        needed = (last_valid + 1 + sc - 1) // sc
+        n_chunks = (n_slots + s_pad) // sc
 
-        def body(carry):
-            i, r_acc, s_acc = carry
-            fchunk = jax.lax.dynamic_slice(
-                f0_filled, (0, i * sc), (n_frames, sc))
-            r, sco = jax.vmap(lambda sp, sm, cf, pf, frow: jax.vmap(
-                lambda ff: _refine_frame_direct(
-                    sp, sm, cf, pf, fs_t, hw_max, ff, f0_floor, f0_ceil))(
-                        frow)
-            )(segs_p, segs_m, c0, positions, fchunk)
-            r_acc = jax.lax.dynamic_update_slice(r_acc, r, (0, i * sc))
-            s_acc = jax.lax.dynamic_update_slice(s_acc, sco, (0, i * sc))
-            return i + 1, r_acc, s_acc
+        # Slot-major accumulators: a trailing-axis dynamic_update_slice
+        # on (F, S) rewrites every (8,128) tile of the whole array each
+        # trip (the slot axis lives inside the 128-lane tile), turning
+        # the loop bandwidth-bound (~2.6 GB accessed at sc=4).  With
+        # (S, F) layout each trip reads/writes one sc-row band (~25 KB),
+        # so only the refine compute itself streams.  Transposes happen
+        # once outside the loop; values are bit-identical.
+        f0_t = f0_filled.T  # (S+pad, F)
 
-        zeros = jnp.zeros((n_frames, n_slots + s_pad), y.dtype)
+        # Two-tier chunking: per-pair refine cost is O(window) and
+        # hw = 1.5 fs/f0 + 1, while slots are channel-ordered so low-f0
+        # candidates concentrate in EARLY chunks.  Chunks whose widest
+        # valid candidate fits hw_half run with half windows (the folds
+        # beyond hw are exact zeros, so only f32 reduction-tree order
+        # differs); chunks with no valid slot at all are skipped.  Chunk
+        # index lists are packed by two 28-element sorts (trivial).
+        hw_half = hw_max // 2
+        inv_p = jnp.concatenate(
+            [invalid, jnp.ones((n_frames, s_pad), bool)], 1)
+        valid_m = (~inv_p).reshape(n_frames, n_chunks, sc)
+        hw_all = (1.5 * fs_t / f0_filled + 1.0).astype(
+            jnp.int32).reshape(n_frames, n_chunks, sc)
+        chunk_hw = jnp.max(jnp.where(valid_m, hw_all, 0), axis=(0, 2))
+        chunk_any = jnp.any(valid_m, axis=(0, 2))
+        cidx = jnp.arange(n_chunks)
+        full = chunk_any & (chunk_hw > hw_half)
+        halfc = chunk_any & ~full
+        c_full = jnp.argsort(jnp.where(full, cidx, BIG))
+        c_half = jnp.argsort(jnp.where(halfc, cidx, BIG))
+        n_full = jnp.sum(full)
+        n_half = jnp.sum(halfc)
+
+        def make_body(order, hw_kernel, sp, sm):
+            def body(carry):
+                i, r_acc, s_acc = carry
+                ci = order[i]
+                fchunk = jax.lax.dynamic_slice(
+                    f0_t, (ci * sc, 0), (sc, n_frames)).T
+                r, sco = jax.vmap(
+                    lambda spr, smr, cf, pf, frow: jax.vmap(
+                        lambda ff: _refine_frame_direct(
+                            spr, smr, cf, pf, fs_t, hw_kernel, ff,
+                            f0_floor, f0_ceil))(frow)
+                )(sp, sm, c0, positions, fchunk)
+                r_acc = jax.lax.dynamic_update_slice(
+                    r_acc, r.T, (ci * sc, 0))
+                s_acc = jax.lax.dynamic_update_slice(
+                    s_acc, sco.T, (ci * sc, 0))
+                return i + 1, r_acc, s_acc
+            return body
+
+        zeros = jnp.zeros((n_slots + s_pad, n_frames), y.dtype)
         _, refined, scores = jax.lax.while_loop(
-            lambda c: c[0] < needed, body, (0, zeros, zeros))
+            lambda c: c[0] < n_full,
+            make_body(c_full, hw_max, segs_p, segs_m),
+            (0, zeros, zeros))
+        _, refined, scores = jax.lax.while_loop(
+            lambda c: c[0] < n_half,
+            make_body(c_half, hw_half,
+                      segs_p[:, : hw_half + 1], segs_m[:, : hw_half + 1]),
+            (0, refined, scores))
+        refined = refined.T
+        scores = scores.T
         return (jnp.where(~invalid, refined[:, :n_slots], 0.0),
                 jnp.where(~invalid, scores[:, :n_slots], 0.0))
 
