@@ -56,15 +56,25 @@ def _time_base(f0, fs_t, frame_period_s, y_length, lowest_f0, dtype):
     is_pulse = jump > config.K_PI  # pulse at sample i, i < y_length-1
 
     idx = jnp.arange(y_length - 1)
-    order = jnp.sort(jnp.where(is_pulse, idx, BIG))
     n_pulses = jnp.sum(is_pulse)
 
-    safe = jnp.clip(order, 0, y_length - 2)
-    y1 = wrap_phase[safe] - 2.0 * config.K_PI
-    y2 = wrap_phase[safe + 1]
-    shift = (-y1 / (y2 - y1)) / fs_t
+    # Elementwise-before-compaction: the fractional shift and the vuv
+    # flag cost a few flops per SAMPLE, so compute them for every sample
+    # and let the compaction sort carry them as payloads — three
+    # arbitrary pulse-index gathers (~1 us per scalar on TPU) become
+    # extra sort bytes.  Same operands and op order per pulse, so the
+    # kept slots are bit-identical; BIG-keyed slots carry garbage (the
+    # shift can be inf/NaN where the phase is locally flat) that the
+    # caller's `valid` mask replaces before it can reach the output.
+    y1 = wrap_phase[:-1] - 2.0 * config.K_PI
+    y2 = wrap_phase[1:]
+    shift_all = (-y1 / (y2 - y1)) / fs_t
+    key = jnp.where(is_pulse, idx, BIG)
+    order, shift, vuv = jax.lax.sort(
+        (key, shift_all, ivuv[:y_length - 1]), num_keys=1, is_stable=False)
 
-    return order, safe, shift, n_pulses, ivuv
+    safe = jnp.clip(order, 0, y_length - 2)
+    return order, safe, shift, n_pulses, vuv
 
 
 def _lerp_frames(values, current_time, frame_period_s, f0_length):
@@ -135,11 +145,12 @@ def _synthesis_impl(f0, spectrogram, aperiodicity, fs_t, *, fs, fft_size,
     frame_period_s = frame_period / 1000.0
     lowest_f0 = fs / fft_size + 1.0
 
-    order, safe_idx, shift, n_pulses, ivuv = _time_base(
+    order, safe_idx, shift, n_pulses, pulse_vuv = _time_base(
         f0, fs_t, frame_period_s, y_length, lowest_f0, dtype)
     order = order[:max_pulses]
     safe_idx = safe_idx[:max_pulses]
     shift = shift[:max_pulses]
+    pulse_vuv = pulse_vuv[:max_pulses]
     valid = jnp.arange(max_pulses) < n_pulses
 
     k = jnp.arange(max_pulses)
@@ -161,7 +172,7 @@ def _synthesis_impl(f0, spectrogram, aperiodicity, fs_t, *, fs, fft_size,
     dc_rem = _dc_remover(fft_size, dtype)
 
     current_time = safe_idx.astype(dtype) / fs_t
-    current_vuv = ivuv[safe_idx]
+    current_vuv = pulse_vuv
 
     def render(t, v, s, nd, ns):
         return jax.vmap(lambda tt, vv, ss, nn, zz: _one_pulse(

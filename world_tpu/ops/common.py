@@ -198,9 +198,15 @@ def dc_correction_batched(spectra, f0s, fs, fft_size, b_cap):
     stride = nbins + n_rep
     sp = jnp.concatenate(
         [jnp.zeros((B, n_rep), dtype), spectra], axis=1).reshape(-1)
-    starts = jnp.arange(B) * stride + (i0 + 1)  # = idx of S[i0-(n_rep-1)]
-    win = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(sp, (s,), (n_rep + 1,)))(starts)
+    # i0+1 <= nbins-1 always holds (f0 well below Nyquist); the clip only
+    # pins the _multi_window row invariant, it never engages.
+    off = jnp.clip(i0 + 1, 0, nbins - 1)
+    starts = jnp.arange(B) * stride + off     # = idx of S[i0-(n_rep-1)]
+    # _multi_window (not a plain vmapped dynamic_slice): under the outer
+    # utterance vmap the plain form sees a per-lane buffer and degrades
+    # to a true gather (~2 ms/call in D4C + CheapTrick); the custom
+    # batching rule re-flattens to the shared-buffer fast path.
+    win = _multi_window(n_rep + 1)(sp, starts)
     y0 = win[:, n_rep - 1::-1]          # S[i0-k], k = 0..n_rep-1
     y1 = win[:, n_rep:0:-1]             # S[i0-k+1]
     replica = y0 + (y1 - y0) * frac[:, None]
