@@ -172,6 +172,28 @@ def run(stage="pipeline", batch=16):
     for name, dur in items[:60]:
         print(f"{dur/1e3:9.2f} ms  {name[:140]}")
 
+    # Source attribution: join op names against the compiled HLO's
+    # metadata so the long tail of small fusions is chargeable to a
+    # module, not just the top-60 to an op id.  jit-wrapped callables
+    # expose lower(); plain lambdas (stage wrappers) are skipped.
+    try:
+        import re
+        hlo = fn.lower(args).compile().as_text()
+    except Exception as e:  # pragma: no cover
+        print(f"# (no source attribution: {e})")
+        return
+    src_of = {}
+    pat = re.compile(r"%(\S+?) = .*?source_file=\"([^\"]+)\"")
+    for m in pat.finditer(hlo):
+        src_of.setdefault(m.group(1), m.group(2))
+    per_src = defaultdict(float)
+    for name, dur in items:
+        src = src_of.get(name, "<unattributed>")
+        per_src[src.replace("/root/repo/", "")] += dur
+    print("# per-source totals:")
+    for src, dur in sorted(per_src.items(), key=lambda kv: -kv[1])[:20]:
+        print(f"{dur/1e3:9.2f} ms  {src}")
+
 
 if __name__ == "__main__":
     run(sys.argv[1] if len(sys.argv) > 1 else "pipeline",

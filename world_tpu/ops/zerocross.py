@@ -183,14 +183,43 @@ def frame_candidates_eval(sums, fs, frame_tf, frame_t, big):
                        jnp.where(c == 2, s1, jnp.where(c == 1, s2, s3)))
         return (r1, r2, r3), carry
 
-    mv = lambda a: jnp.moveaxis(a, -1, 0)   # (..., F) -> (F, ...)
+    # Blocked scans: U frame-steps unrolled per lax.scan step.  The
+    # per-step combine is ~10 selects over the lane vectors, so at
+    # F ~ 800 the sequential-step overhead dominates; U=8 runs the same
+    # select sequence (bit-identical) in F/8 steps.  cnt=0 padding is a
+    # pass-through for both directions, so tail padding is inert.
+    F = l1.shape[-1]
+    U = 8
+    Fp = -(-F // U) * U
+
+    def mv(a):                              # (..., F) -> (F//U, U, ...)
+        a = jnp.moveaxis(a, -1, 0)
+        if Fp != F:
+            a = jnp.concatenate(
+                [a, jnp.zeros((Fp - F,) + a.shape[1:], a.dtype)])
+        return a.reshape((Fp // U, U) + a.shape[1:])
+
+    def blocked(step, reverse):
+        def body(carry, xs):
+            outs = [None] * U
+            for u in (range(U - 1, -1, -1) if reverse else range(U)):
+                carry, outs[u] = step(carry, tuple(a[u] for a in xs))
+            return carry, tuple(jnp.stack([o[i] for o in outs])
+                                for i in range(3))
+        return body
+
+    def unmv(a):                            # (F//U, U, ...) -> (..., F)
+        a = a.reshape((Fp,) + a.shape[2:])[:F]
+        return jnp.moveaxis(a, 0, -1)
+
     neg3 = tuple(jnp.full(lanes, -big, dtype) for _ in range(3))
     pos3 = tuple(jnp.full(lanes, big, dtype) for _ in range(3))
-    _, P = jax.lax.scan(fwd, neg3, (mv(l1), mv(l2), mv(l3), mv(cnt)))
-    _, S = jax.lax.scan(rev, pos3, (mv(f1), mv(f2), mv(f3), mv(cnt)),
-                        reverse=True)
-    P1, P2, P3 = (jnp.moveaxis(p, 0, -1) for p in P)
-    S1, S2, S3 = (jnp.moveaxis(s, 0, -1) for s in S)
+    _, P = jax.lax.scan(blocked(fwd, False), neg3,
+                        (mv(l1), mv(l2), mv(l3), mv(cnt)))
+    _, S = jax.lax.scan(blocked(rev, True), pos3,
+                        (mv(f1), mv(f2), mv(f3), mv(cnt)), reverse=True)
+    P1, P2, P3 = (unmv(p) for p in P)
+    S1, S2, S3 = (unmv(s) for s in S)
 
     # Assemble the neighborhoods of tf_j: only the block's offset-0
     # crossing can be <= tf (tf in (s_j, s_j+1], crossings >= 2 apart).
