@@ -457,6 +457,17 @@ class StreamingSynthesizer:
         self.head_pointer += 1
         self.handoff = 1
         self._pulse_epoch += 1
+        # Speculative priming: start rendering the new pulses NOW, so
+        # the first synthesis2 call finds its window already in flight
+        # instead of paying the full device round trip then — priming
+        # drops by about one dispatch+fetch cycle.  Output-invariant
+        # (renders are pure functions of the pulse params + RNG refs);
+        # the dispatch-threshold ramp keeps early batches small and
+        # later ones amortized, exactly as the on-demand paths do.
+        if self.lookahead_pulses > 0:
+            params, keys = self._collect_lookahead()
+            if keys and len(keys) >= self._dispatch_threshold:
+                self._submit(keys, params)
         return True
 
     def _get_time_base(self, f0, chunk, start_sample, n):
