@@ -52,11 +52,17 @@ def _timed(step, tail, make_input, iters=ITERS):
     return float(np.median(times))
 
 
-def main():
+def main(sections=None):
+    """Run the benchmark; ``sections`` (a set) restricts to a subset of
+    {"pipeline", "stages", "48k", "corpus", "streaming"} for quick
+    re-measurement of one block (None = all, the driver contract)."""
     import jax
     import jax.numpy as jnp
 
     from world_tpu.parallel.pipeline import make_batch_step
+
+    def want(s):
+        return sections is None or s in sections
 
     x = np.fromfile("tests/goldens/x.f64").astype(np.float32)
     fs = 22050
@@ -72,7 +78,7 @@ def main():
         [o[0][:, -1], o[1][:, -1, -1], o[2][:, -1, -1], o[3][:, -8:].ravel()]))
 
     result = {}
-    for method in ("harvest", "dio"):
+    for method in ("harvest", "dio") if want("pipeline") else ():
         step = jax.jit(make_batch_step(fs, len(x), rng_mode="fast",
                                        f0_method=method))
         dt = _timed(step, tail4, fresh)
@@ -139,18 +145,20 @@ def main():
     tail2 = jax.jit(lambda o: o[1][:, -4:].ravel())
     tail1 = jax.jit(lambda o: o[:, -4:].ravel() if o.ndim == 2
                     else o[:, -1, -4:].ravel())
-    stage_ms = {}
-    stage_ms["harvest"] = 1e3 * _timed(
-        harvest_f0, tail2, fresh, iters=3)
-    stage_ms["dio_stonemask"] = 1e3 * _timed(dio_f0, tail2, fresh, iters=3)
-    for name, fn in (("cheaptrick", cheaptrick), ("d4c", d4c)):
-        stage_ms[name] = 1e3 * _timed(
-            lambda args, fn=fn: fn(args[0], args[1], args[2]),
+    if want("stages"):
+        stage_ms = {}
+        stage_ms["harvest"] = 1e3 * _timed(
+            harvest_f0, tail2, fresh, iters=3)
+        stage_ms["dio_stonemask"] = 1e3 * _timed(
+            dio_f0, tail2, fresh, iters=3)
+        for name, fn in (("cheaptrick", cheaptrick), ("d4c", d4c)):
+            stage_ms[name] = 1e3 * _timed(
+                lambda args, fn=fn: fn(args[0], args[1], args[2]),
+                tail1, stage_inputs, iters=3)
+        stage_ms["synthesis"] = 1e3 * _timed(
+            lambda args: synth(args[2], args[3], args[4]),
             tail1, stage_inputs, iters=3)
-    stage_ms["synthesis"] = 1e3 * _timed(
-        lambda args: synth(args[2], args[3], args[4]),
-        tail1, stage_inputs, iters=3)
-    result["stage_ms"] = {k: round(v, 1) for k, v in stage_ms.items()}
+        result["stage_ms"] = {k: round(v, 1) for k, v in stage_ms.items()}
     result["batch"] = BATCH
     result["audio_seconds_per_step"] = round(audio_seconds, 3)
 
@@ -158,17 +166,20 @@ def main():
     # The reference's 71 Hz f0_floor is chosen to keep fft_size at 2048
     # at 48 kHz (src/world/constantnumbers.h:28-30); the RTF claim is
     # demonstrated at that flagship configuration too.
-    x48 = np.fromfile("tests/goldens_fs48/x.f64").astype(np.float32)
-    step48 = make_batch_step(48000, len(x48), rng_mode="fast",
-                             f0_method="harvest")
+    x48 = np.fromfile("tests/goldens_fs48/x.f64").astype(np.float32) \
+        if want("48k") else None
+    if want("48k"):
+        step48 = make_batch_step(48000, len(x48), rng_mode="fast",
+                                 f0_method="harvest")
 
-    def fresh48():
-        return jnp.asarray(
-            x48[None, :] * (0.5 + rng.random((BATCH, 1), dtype=np.float32)))
+        def fresh48():
+            return jnp.asarray(
+                x48[None, :]
+                * (0.5 + rng.random((BATCH, 1), dtype=np.float32)))
 
-    dt48 = _timed(step48, tail4, fresh48, iters=3)
-    result["harvest_pipeline_rtf_48k"] = round(
-        BATCH * len(x48) / 48000 / dt48, 2)
+        dt48 = _timed(step48, tail4, fresh48, iters=3)
+        result["harvest_pipeline_rtf_48k"] = round(
+            BATCH * len(x48) / 48000 / dt48, 2)
 
     # ---- sustained corpus throughput (production path) -----------------
     # End-to-end BatchedCorpusRunner: wav read -> double-buffered device
@@ -184,6 +195,8 @@ def main():
 
     corpus_dir = tempfile.mkdtemp(prefix="world_bench_corpus_")
     try:
+        if not want("corpus"):
+            raise _SkipSection
         n_utt = 4 * BATCH
         # 2*BATCH extra warmup-only files (one batch per output config):
         # the runtime memoizes repeat executions by input content, so the
@@ -216,11 +229,21 @@ def main():
             if lo == 0:
                 result["corpus_frames_per_second"] = \
                     m["frames_per_second"]
+    except _SkipSection:
+        pass
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
 
     # ---- streaming synthesis (reference test.cpp:300-339) --------------
     from world_tpu.models.realtime import StreamingSynthesizer
+
+    if not want("streaming"):
+        rtf = result.get("harvest_pipeline_rtf", 0.0)
+        print(json.dumps({"metric": "harvest_pipeline_rtf_per_chip",
+                          "value": rtf, "unit": "x_realtime",
+                          "vs_baseline": round(rtf / CPP_BASELINE_RTF, 2),
+                          **result}))
+        return
 
     def g64(name, shape):
         return np.fromfile(f"tests/goldens/{name}.f64").reshape(shape)
@@ -364,7 +387,7 @@ def main():
     # paced lag above is measured against this floor.
     result["streaming"] = streaming
 
-    rtf = result["harvest_pipeline_rtf"]
+    rtf = result.get("harvest_pipeline_rtf", 0.0)
     print(json.dumps({
         "metric": "harvest_pipeline_rtf_per_chip",
         "value": rtf,
@@ -374,5 +397,10 @@ def main():
     }))
 
 
+class _SkipSection(Exception):
+    pass
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    main(set(sys.argv[1:]) or None)

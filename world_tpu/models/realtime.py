@@ -388,6 +388,9 @@ class StreamingSynthesizer:
         # trip instead of the time real-time feeding needs to
         # accumulate dispatch_min pulses (~80 ms at 16 pulses/200 Hz).
         self._ramp = 1
+        # True once any render batch has been submitted; gates the
+        # speculative first dispatch in add_parameters.
+        self._primed = False
         # Lookahead walk bookkeeping: the shadow-walk over future pulses
         # only needs to re-run when new pulses arrive (_pulse_epoch
         # bumps), when a render window has a cache miss, or when a
@@ -457,16 +460,19 @@ class StreamingSynthesizer:
         self.head_pointer += 1
         self.handoff = 1
         self._pulse_epoch += 1
-        # Speculative priming: start rendering the new pulses NOW, so
-        # the first synthesis2 call finds its window already in flight
-        # instead of paying the full device round trip then — priming
-        # drops by about one dispatch+fetch cycle.  Output-invariant
-        # (renders are pure functions of the pulse params + RNG refs);
-        # the dispatch-threshold ramp keeps early batches small and
-        # later ones amortized, exactly as the on-demand paths do.
-        if self.lookahead_pulses > 0:
+        # Speculative priming: before the stream's FIRST render, start
+        # rendering the new pulses NOW, so the first synthesis2 call
+        # finds its window already in flight instead of paying the full
+        # device round trip then.  Output-invariant (renders are pure
+        # functions of the pulse params + RNG refs).  Strictly
+        # first-dispatch-only: doing this on EVERY add_parameters
+        # re-walks all outstanding pulses per call and floods the
+        # worker with threshold-sized batches, bypassing the
+        # hold_force_ms batching — measured to halve paced frame-feed
+        # throughput.  Steady-state dispatch policy stays untouched.
+        if self.lookahead_pulses > 0 and not self._primed:
             params, keys = self._collect_lookahead()
-            if keys and len(keys) >= self._dispatch_threshold:
+            if keys:
                 self._submit(keys, params)
         return True
 
@@ -817,6 +823,7 @@ class StreamingSynthesizer:
     def _submit(self, keys, params):
         """Queue a render on the worker; mark its keys as pending."""
         bid = self._worker.submit(keys, params)
+        self._primed = True
         for k in keys:
             self._resp_cache[k] = ("pending", bid)
             self._staged.pop(k, None)
