@@ -87,18 +87,77 @@ def _response_kernel(env, ap_ratio, current_vuv, noise_draws, noise_size,
 @functools.partial(jax.jit, static_argnames=("n", "dtype"))
 def _fast_noise(base_key, refs, n, dtype):
     """Per-pulse fast-mode noise blocks in one fused device call."""
+    return _fast_noise_impl(base_key, refs, n, dtype)
+
+
+def _fast_noise_impl(base_key, refs, n, dtype):
     return jax.vmap(lambda r: jax.random.normal(
         jax.random.fold_in(base_key, r), (n,), dtype))(refs)
 
 
-@functools.partial(jax.jit, static_argnames=("fft_size",))
+@functools.partial(jax.jit, static_argnames=("fft_size", "fast_noise"))
 def _response_batch(envs, ap_ratios, vuvs, noise_draws, noise_sizes,
-                    dc_remover, *, fft_size):
+                    dc_remover, *, fft_size, fast_noise=False):
     """All pulses of one render window in a single vmapped device call
-    (the per-pulse dispatch was the streaming path's bottleneck)."""
+    (the per-pulse dispatch was the streaming path's bottleneck).
+    ``fast_noise``: see _span_batch."""
+    if fast_noise:
+        base_key, refs = noise_draws
+        noise_draws = _fast_noise_impl(base_key, refs, fft_size,
+                                       envs.dtype)
     return jax.vmap(lambda e, a, v, nd, ns: _response_kernel(
         e, a, v, nd, ns, dc_remover, fft_size=fft_size))(
             envs, ap_ratios, vuvs, noise_draws, noise_sizes)
+
+
+# Span buckets (samples) for the device-side OLA: every span length is
+# padded up to one of these so only a handful of XLA programs ever
+# compile.  Multiples of 1024 (the Pallas store block).
+_SPAN_BUCKETS = (2048, 3072, 4096, 6144, 8192, 12288, 16384, 24576, 32768)
+
+
+@functools.partial(jax.jit, static_argnames=("fft_size", "span",
+                                             "fast_noise"))
+def _span_batch(envs, ap_ratios, vuvs, noise_draws, noise_sizes,
+                dc_remover, offs, clips, *, fft_size, span,
+                fast_noise=False):
+    """Render a batch of pulses AND overlap-add them into a contiguous
+    waveform span ON DEVICE, so the host fetches ~4 bytes per sample of
+    audio instead of 4*fft_size bytes per pulse (the per-pulse response
+    fetch is ~10-40x more tunnel traffic and was the measured bottleneck
+    of bulk streaming — ~1 MB per second of audio at 8-16 MB/s).
+
+    ``offs[k]`` places pulse k's response at span sample offs[k]
+    (0 <= off <= span - fft_size; callers segment batches to fit).
+    ``clips[k]`` zeroes the response's first clips[k] samples — the
+    reference's Synthesis2 truncates a pulse's contribution to samples
+    at or after the 64-sample window that consumes it
+    (src/synthesisrealtime.cpp:577-600: the ring add never reaches
+    below buffer index 0), and the clip reproduces that exactly.
+    Padded lanes (vuv=0, noise_size=0) contribute exact zeros.
+
+    ``fast_noise=True``: noise_draws is (base_key, uint32 refs) and the
+    draws are generated INSIDE this program — a separate noise call
+    would chain a second ~27 ms dispatch in front of every render on
+    the tunnel backend."""
+    if fast_noise:
+        base_key, refs = noise_draws
+        noise_draws = _fast_noise_impl(base_key, refs, fft_size,
+                                       envs.dtype)
+    resp = jax.vmap(lambda e, a, v, nd, ns: _response_kernel(
+        e, a, v, nd, ns, dc_remover, fft_size=fft_size))(
+            envs, ap_ratios, vuvs, noise_draws, noise_sizes)
+    resp = jnp.where(jnp.arange(fft_size)[None, :] >= clips[:, None],
+                     resp, 0.0)
+    if resp.dtype == jnp.float64:
+        # Oracle path: scatter-add, same op family as the batch
+        # synthesis f64 OLA (models/synthesis.py).
+        targets = offs[:, None] + jnp.arange(fft_size)[None, :]
+        return jnp.zeros(span, resp.dtype).at[targets].add(
+            resp, mode="drop")
+    from ..ops.pallas_ola import ola_accumulate
+    return ola_accumulate(resp[None], offs[None].astype(jnp.int32),
+                          y_padded=span)[0]
 
 
 _live_workers = weakref.WeakSet()
@@ -127,8 +186,11 @@ class _RenderWorker:
 
     _N_FETCHERS = 4  # concurrent device->host fetch threads
 
-    def __init__(self, dispatch_fn):
+    def __init__(self, dispatch_fn, span_sink=None):
         self._dispatch = dispatch_fn
+        # Called (on the MAIN thread, inside drain/wait) with
+        # (base_sample, waveform) for device-OLA span results.
+        self._span_sink = span_sink
         self._requests = queue.SimpleQueue()
         self._fetches = queue.SimpleQueue()
         self._results = queue.SimpleQueue()
@@ -199,8 +261,8 @@ class _RenderWorker:
                 keys = [k for _, ks, _ in reqs for k in ks]
                 pulses = [p for _, _, ps in reqs for p in ps]
                 try:
-                    handle = self._dispatch(pulses)
-                    self._fetches.put((bids, keys, len(pulses), handle))
+                    fetch = self._dispatch(pulses)
+                    self._fetches.put((bids, keys, fetch))
                 except BaseException as e:  # noqa: BLE001 — surface on main
                     self._inflight.release()
                     self._results.put((bids, keys, e))
@@ -214,9 +276,9 @@ class _RenderWorker:
             item = self._fetches.get()
             if item is None:
                 return
-            bids, keys, n, handle = item
+            bids, keys, fetch = item
             try:
-                rows = np.asarray(handle)[:n]
+                rows = fetch()
             except BaseException as e:  # noqa: BLE001 — surface on main
                 rows = e
             self._inflight.release()
@@ -262,6 +324,14 @@ class _RenderWorker:
             for k in keys:
                 into.pop(k, None)
             raise rows
+        if isinstance(rows, tuple) and rows and rows[0] == "span":
+            # Device-OLA result: the audio lands in the owner's span
+            # accumulator; the keys just mark 'landed' (True).
+            for base, wave in rows[1]:
+                self._span_sink(base, wave)
+            for k in keys:
+                into[k] = True
+            return
         for k, row in zip(keys, rows):
             into[k] = row
 
@@ -308,7 +378,8 @@ class StreamingSynthesizer:
     def __init__(self, fs, frame_period, fft_size, buffer_size,
                  number_of_pointers, rng_mode="exact", dtype=np.float64,
                  lookahead_pulses=256, hold_on_miss=False,
-                 dispatch_min_pulses=None, hold_force_ms=15.0):
+                 dispatch_min_pulses=None, hold_force_ms=15.0,
+                 span_render=True, span_min_pulses=8):
         self.fs = fs
         self.frame_period = frame_period / 1000.0
         self.fft_size = fft_size
@@ -348,13 +419,26 @@ class StreamingSynthesizer:
         # it directly bounds the latency the hold policy can add on top
         # of the device round trip.
         self.hold_force_ms = hold_force_ms
+        # Device-side OLA for batches of >= span_min_pulses pulses: the
+        # batch's responses are summed into a waveform span on device
+        # and only the span crosses the tunnel (~10-40x fewer bytes
+        # than per-pulse response rows; see _span_batch).  Batches
+        # below the threshold keep the per-pulse path (same bytes at
+        # tiny sizes, and its response buckets are the warmed-up set).
+        self.span_render = span_render
+        self.span_min_pulses = max(1, span_min_pulses)
+        cap = 1
+        while cap < max(lookahead_pulses, self.span_min_pulses, 8):
+            cap *= 2
+        self._span_cap = cap
         self.dc_remover = jnp.asarray(_dc_remover_half(fft_size // 2, dtype))
         self.buffer = np.zeros(buffer_size * 2 + fft_size, dtype)
         self.chunks = {}
         # Late binding so a subclass/monkeypatched _render_dispatch is
         # honored even when swapped in after construction.
-        self._worker = _RenderWorker(lambda pulses: self._render_dispatch(
-            pulses))
+        self._worker = _RenderWorker(
+            lambda pulses: self._render_dispatch(pulses),
+            span_sink=self._span_sink)
         self.refresh()
 
     # -- ring-buffer state ---------------------------------------------
@@ -379,6 +463,11 @@ class StreamingSynthesizer:
         self._fast_key = jax.random.PRNGKey(3)
         self._fast_step = 0
         self._resp_cache = {}
+        # Span accumulator: landed device-OLA waveform spans, covering
+        # samples [_acc_start, _acc_start + len(_acc)).  Emission adds
+        # _acc's slice for the finished window into self.buffer.
+        self._acc = np.zeros(0, self.dtype)
+        self._acc_start = 0
         self._staged = {}  # key -> pulse params awaiting dispatch
         self._hold_t0 = None  # first hold time for the current window
         self.holds = 0  # hold_on_miss "not yet" returns (diagnostics)
@@ -646,52 +735,147 @@ class StreamingSynthesizer:
             return fast + 1, (draw, fast + 1)
         return 0, counters
 
-    def _render_pulses(self, pulses):
-        """Render and fetch: ONE device call then host rows."""
-        return np.asarray(self._render_dispatch(pulses))[:len(pulses)]
-
-    def _render_dispatch(self, pulses):
-        """Dispatch a window's pulses as ONE vmapped device call
-        (bucketed padding so only log-many shapes ever compile) and
-        return the un-fetched device array (async — the caller fetches,
-        which lets the worker overlap round trips).
-
-        pulses: list of (env, ap, vuv, rng_ref, noise_size).  Padded
+    def _pulse_arrays(self, pulses, cap):
+        """Pad a batch of pulse params to ``cap`` lanes and build the
+        device inputs (envs, aps, vuvs, sizes, noise, fast).  Padded
         lanes carry vuv=0 / noise_size=0 and contribute exact zeros.
-        Returns a (cap, fft_size) device array; rows [:len(pulses)]
-        are the responses."""
+        Fast-mode noise ships as (key, refs) and is generated INSIDE
+        the render program (fast=True) — a separate noise dispatch
+        would chain a second ~27 ms tunnel round trip per render."""
         fft = self.fft_size
-        p = len(pulses)
-        cap = 1
-        while cap < p:
-            cap *= 2
         envs = np.ones((cap, fft // 2 + 1), self.dtype)
         aps = np.ones((cap, fft // 2 + 1), self.dtype)
         vuvs = np.zeros(cap, self.dtype)
         sizes = np.zeros(cap, np.int32)
-        for k, (env, ap, vuv, _, ns) in enumerate(pulses):
+        for k, (env, ap, vuv, _, ns, _) in enumerate(pulses):
             envs[k], aps[k], vuvs[k], sizes[k] = env, ap, vuv, ns
 
+        fast = False
         if self.rng_mode == "exact":
             offsets = np.zeros(cap, np.int64)
-            for k, (_, _, _, ref, ns) in enumerate(pulses):
+            for k, (_, _, _, ref, ns, _) in enumerate(pulses):
                 offsets[k] = ref
             draws = rng_ops.randn_blocks_at(jnp.asarray(offsets), fft)
-            draws = jnp.asarray(draws, self.dtype)
+            noise = jnp.asarray(draws, self.dtype)
         elif self.rng_mode == "fast":
             refs = np.zeros(cap, np.uint32)
-            for k, (_, _, _, ref, ns) in enumerate(pulses):
+            for k, (_, _, _, ref, ns, _) in enumerate(pulses):
                 refs[k] = ref
-            # One fused call — an eager per-pulse fold_in loop costs a
-            # full dispatch each on this backend.
-            draws = _fast_noise(self._fast_key, jnp.asarray(refs), fft,
-                                jnp.dtype(self.dtype).name)
+            noise = (self._fast_key, jnp.asarray(refs))
+            fast = True
         else:
-            draws = jnp.zeros((cap, fft), self.dtype)
+            noise = jnp.zeros((cap, fft), self.dtype)
+        return (jnp.asarray(envs), jnp.asarray(aps), jnp.asarray(vuvs),
+                jnp.asarray(sizes), noise, fast)
 
-        return _response_batch(
-            jnp.asarray(envs), jnp.asarray(aps), jnp.asarray(vuvs),
-            draws, jnp.asarray(sizes), self.dc_remover, fft_size=fft)
+    def _render_dispatch(self, pulses):
+        """Dispatch a batch of pulses (bucketed padding so only
+        log-many shapes ever compile) and return a zero-arg FETCH
+        closure (async — the worker's fetch pool calls it, which lets
+        round trips overlap).
+
+        pulses: list of (env, ap, vuv, rng_ref, noise_size, location).
+        Small batches render per-pulse response rows; batches of
+        >= span_min_pulses pulses with known locations render AND
+        overlap-add on device (_span_batch), so the fetch moves the
+        waveform span instead of (pulses, fft_size) response rows."""
+        fft = self.fft_size
+        p = len(pulses)
+        if (self.span_render and p >= self.span_min_pulses
+                and all(pl[5] is not None for pl in pulses)):
+            return self._dispatch_span(pulses)
+        cap = 1
+        while cap < p:
+            cap *= 2
+        envs, aps, vuvs, sizes, noise, fast = self._pulse_arrays(
+            pulses, cap)
+        handle = _response_batch(envs, aps, vuvs, noise, sizes,
+                                 self.dc_remover, fft_size=fft,
+                                 fast_noise=fast)
+        return lambda: np.asarray(handle)[:p]
+
+    _SPAN_MAX = _SPAN_BUCKETS[-1]
+
+    def _dispatch_span(self, pulses):
+        """Device-OLA dispatch: segment the (location-sorted) batch so
+        each segment's span fits the largest bucket, place each pulse
+        at (loc - fft/2 + 1) relative to its segment base, clip its
+        response to its consuming 64-sample window (the reference's
+        ring-add truncation), and dispatch one _span_batch call per
+        segment.  Returns a fetch closure yielding
+        ("span", [(base_sample, waveform), ...])."""
+        fft = self.fft_size
+        bs = self.buffer_size
+        # FIXED lane count: with cap constant, only one _span_batch
+        # program per span bucket ever compiles (padded lanes cost ~a
+        # ms of device compute, not tunnel bytes — the scarce resource).
+        cap = self._span_cap
+        # Walk order is location order, but a coalesced batch can mix an
+        # error-retry with later requests; segmenting needs sorted locs
+        # (span results are keyed-independent, so reordering is safe).
+        pulses = sorted(pulses, key=lambda pl: pl[5])
+        segments = []
+        seg = []
+        base = None
+        for pl in pulses:
+            start = pl[5] - fft // 2 + 1
+            if seg and (start + fft - base > self._SPAN_MAX
+                        or len(seg) == cap):
+                segments.append((base, seg))
+                seg, base = [], None
+            if base is None:
+                base = start
+            seg.append(pl)
+        if seg:
+            segments.append((base, seg))
+
+        handles = []
+        for base, seg in segments:
+            extent = (seg[-1][5] - fft // 2 + 1 - base) + fft
+            span = next(b for b in _SPAN_BUCKETS if b >= min(
+                extent, self._SPAN_MAX))
+            offs = np.zeros(cap, np.int32)
+            clips = np.zeros(cap, np.int32)
+            for k, pl in enumerate(seg):
+                loc = pl[5]
+                offs[k] = loc - fft // 2 + 1 - base
+                clips[k] = max(0, bs * (loc // bs) - (loc - fft // 2 + 1))
+            envs, aps, vuvs, sizes, noise, fast = self._pulse_arrays(
+                seg, cap)
+            handles.append((base, _span_batch(
+                envs, aps, vuvs, noise, sizes, self.dc_remover,
+                jnp.asarray(offs), jnp.asarray(clips),
+                fft_size=fft, span=span, fast_noise=fast)))
+        return lambda: ("span", [(b, np.asarray(h)) for b, h in handles])
+
+    # -- span accumulator ------------------------------------------------
+    def _span_sink(self, base, wave):
+        """Absorb a landed device-OLA span (main thread, via the
+        worker's drain/wait).  Contributions below _acc_start target
+        already-emitted samples and are zeros by construction (the
+        per-pulse clip) — dropped."""
+        rel = base - self._acc_start
+        if rel < 0:
+            wave = wave[-rel:]
+            rel = 0
+        end = rel + len(wave)
+        if end > len(self._acc):
+            self._acc = np.concatenate(
+                [self._acc,
+                 np.zeros(max(end - len(self._acc), 8192), self.dtype)])
+        self._acc[rel:end] += wave
+
+    def _acc_emit(self, start, n):
+        """Add the span accumulator's [start, start+n) samples into
+        self.buffer[:n] and lazily compact the consumed prefix."""
+        rel = start - self._acc_start
+        if rel >= len(self._acc):
+            return
+        take = min(n, len(self._acc) - rel)
+        self.buffer[:take] += self._acc[rel: rel + take]
+        if rel + take >= 1 << 15:
+            self._acc = self._acc[rel + take:].copy()
+            self._acc_start = start + take
 
     def _next_pulse_index_at(self, pointer, i):
         """GetNextPulseLocationIndex (src/synthesisrealtime.cpp:380-393)
@@ -746,7 +930,7 @@ class StreamingSynthesizer:
             v = self._resp_cache.get((ptr, i, ns, ref))
             if v is None:
                 return "missing"
-            if not isinstance(v, np.ndarray):
+            if v is not True and not isinstance(v, np.ndarray):
                 state = "pending"
             loc = tmp
             ptr, i, ok = self._advance_at(ptr, i)
@@ -785,7 +969,7 @@ class StreamingSynthesizer:
                 p = self._staged.get(key)
                 if p is None:
                     env, ap, vuv = self._pulse_env(loc, ptr, ahead=True)
-                    p = self._staged[key] = (env, ap, vuv, ref, ns)
+                    p = self._staged[key] = (env, ap, vuv, ref, ns, loc)
                 params.append(p)
                 keys.append(key)
             ptr, i, ok = self._advance_at(ptr, i)
@@ -809,15 +993,30 @@ class StreamingSynthesizer:
         env = np.ones(half, self.dtype)
         apr = np.ones(half, self.dtype)
         scratch = {}
+        # Per-pulse response buckets: with span rendering on, only
+        # batches below span_min_pulses use them.
+        rows_top = min(n, self.span_min_pulses) if self.span_render else n
         cap = 1
-        while cap <= n:
+        while cap <= max(rows_top, 1):
             # one batch per bucket, waited on so the worker cannot
             # coalesce them into a single (largest-bucket) call
             bid = self._worker.submit(
                 [("warmup", cap, k) for k in range(cap)],
-                [(env, apr, 0.0, 0, 0)] * cap)
+                [(env, apr, 0.0, 0, 0, None)] * cap)
             self._worker.wait(bid, scratch)
             cap *= 2
+        if self.span_render:
+            # One zero-contribution batch per span bucket (vuv=0 /
+            # noise_size=0 lanes add exact zeros to the accumulator).
+            fft = self.fft_size
+            m = self.span_min_pulses
+            for span in _SPAN_BUCKETS:
+                locs = np.linspace(fft // 2, fft // 2 + span - fft,
+                                   m).astype(int)
+                bid = self._worker.submit(
+                    [("warmup_span", span, k) for k in range(m)],
+                    [(env, apr, 0.0, 0, 0, int(lc)) for lc in locs])
+                self._worker.wait(bid, scratch)
         return self
 
     def _submit(self, keys, params):
@@ -898,7 +1097,8 @@ class StreamingSynthesizer:
             key = (at[0], at[1], noise_size, ref)
             window.append((current_location, key))
             if key not in self._resp_cache:
-                to_render.append((env, ap, vuv, ref, noise_size))
+                to_render.append((env, ap, vuv, ref, noise_size,
+                                  current_location))
                 render_keys.append(key)
             current_location = tmp
             self._consumed_since_walk += 1
@@ -933,14 +1133,24 @@ class StreamingSynthesizer:
                 self._worker.wait(bid, self._resp_cache)
         for loc, key in window:
             resp = self._resp_cache.pop(key)
-            if not isinstance(resp, np.ndarray):  # still rendering
-                self._worker.wait(resp[1], self._resp_cache)
+            if resp is not True and not isinstance(resp, np.ndarray):
+                self._worker.wait(resp[1], self._resp_cache)  # rendering
                 resp = self._resp_cache.pop(key)
+            if resp is True:
+                continue  # device-OLA pulse: audio already in _acc
             offset = loc - self.synthesized_sample - fft // 2 + 1
             lo = max(0, -offset)
             self.buffer[lo + offset: fft + offset] += resp[lo:]
+        self._acc_emit(self.synthesized_sample, bs)
         if len(self._resp_cache) > 4 * max(self.lookahead_pulses, 64):
-            self._resp_cache.clear()  # stale keys from rewound streams
+            # Stale keys from rewound streams.  Only drop materialized
+            # ROWS: a landed span marker (True) stands for audio already
+            # accumulated in _acc — dropping it would re-render and
+            # double-add — and an in-flight ('pending', bid) marker
+            # would reappear when its batch lands anyway.
+            for k in [k for k, v in self._resp_cache.items()
+                      if isinstance(v, np.ndarray)]:
+                del self._resp_cache[k]
             self._staged.clear()
             self._walk_epoch = -1  # force a fresh lookahead walk
         self.synthesized_sample += bs
