@@ -183,15 +183,22 @@ def run(stage="pipeline", batch=16):
         print(f"# (no source attribution: {e})")
         return
     src_of = {}
-    pat = re.compile(r"%(\S+?) = .*?source_file=\"([^\"]+)\"")
+    pat = re.compile(r"%(\S+?) = .*?source_file=\"([^\"]+)\""
+                     r"(?:.*?source_line=(\d+))?")
     for m in pat.finditer(hlo):
-        src_of.setdefault(m.group(1), m.group(2))
+        src_of.setdefault(m.group(1), (m.group(2), m.group(3) or "?"))
     per_src = defaultdict(float)
+    per_line = defaultdict(float)
     for name, dur in items:
-        src = src_of.get(name, "<unattributed>")
-        per_src[src.replace("/root/repo/", "")] += dur
+        src, line = src_of.get(name, ("<unattributed>", "?"))
+        src = src.replace("/root/repo/", "")
+        per_src[src] += dur
+        per_line[f"{src}:{line}"] += dur
     print("# per-source totals:")
     for src, dur in sorted(per_src.items(), key=lambda kv: -kv[1])[:20]:
+        print(f"{dur/1e3:9.2f} ms  {src}")
+    print("# per-line totals (top 40):")
+    for src, dur in sorted(per_line.items(), key=lambda kv: -kv[1])[:40]:
         print(f"{dur/1e3:9.2f} ms  {src}")
 
 

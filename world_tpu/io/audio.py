@@ -12,29 +12,46 @@ import struct
 import numpy as np
 
 
-def wavread(filename):
-    """Read a mono PCM wav.  Returns (x float64 in [-1,1], fs, nbit)."""
-    with open(filename, "rb") as f:
-        data = f.read()
-    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+def _parse_header(head):
+    """Validate the RIFF/fmt header and walk chunks to the data chunk.
+    Returns (data_payload_offset, n_bytes, fs, nbit).  Walking 8-byte
+    chunk headers (id + size) skips LIST/INFO metadata correctly — a
+    substring search for b"data" can match inside another chunk's
+    payload.  Raises ValueError for anything malformed (including a
+    truncated header, so callers need not handle struct.error)."""
+    if len(head) < 44:
+        raise ValueError("truncated wav header")
+    if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
-    if data[12:16] != b"fmt " or struct.unpack("<I", data[16:20])[0] != 16:
+    if head[12:16] != b"fmt " or struct.unpack("<I", head[16:20])[0] != 16:
         raise ValueError("unsupported fmt chunk")
-    fmt, channels = struct.unpack("<HH", data[20:24])
+    fmt, channels = struct.unpack("<HH", head[20:24])
     if fmt != 1:
         raise ValueError("only integer PCM supported")
     if channels != 1:
         raise ValueError("only mono supported")
-    fs = struct.unpack("<I", data[24:28])[0]
-    nbit = struct.unpack("<H", data[34:36])[0]
-    # find the data chunk (reference skips unknown chunks byte-by-byte)
-    pos = data.find(b"data", 36)
-    if pos < 0:
-        raise ValueError("no data chunk")
-    n_bytes = struct.unpack("<I", data[pos + 4: pos + 8])[0]
+    fs = struct.unpack("<I", head[24:28])[0]
+    nbit = struct.unpack("<H", head[34:36])[0]
+    if nbit not in (8, 16, 24, 32):
+        raise ValueError(f"unsupported bit depth {nbit}")
+    pos = 36  # first chunk after the 16-byte fmt payload
+    while pos + 8 <= len(head):
+        cid = head[pos: pos + 4]
+        size = struct.unpack("<I", head[pos + 4: pos + 8])[0]
+        if cid == b"data":
+            return pos + 8, size, fs, nbit
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+def wavread(filename):
+    """Read a mono PCM wav.  Returns (x float64 in [-1,1], fs, nbit)."""
+    with open(filename, "rb") as f:
+        data = f.read()
+    payload, n_bytes, fs, nbit = _parse_header(data)
     qbyte = nbit // 8
     n = n_bytes // qbyte
-    raw = np.frombuffer(data[pos + 8: pos + 8 + n * qbyte], np.uint8)
+    raw = np.frombuffer(data[payload: payload + n * qbyte], np.uint8)
     raw = raw.reshape(n, qbyte).astype(np.float64)
     # little-endian signed integer, matching tools/audioio.cpp:239-249
     top = raw[:, -1]
@@ -75,20 +92,22 @@ def peek_header(filename):
     reading the sample data.  Used by the corpus runner to assign bucket
     lengths before the threaded batch loader reads the audio.
     Raises ValueError on malformed/unsupported files (same conditions as
-    wavread)."""
+    wavread).  Reads the file incrementally while walking chunks, so
+    arbitrarily large metadata (LIST/INFO) before the data chunk is
+    skipped without loading the audio."""
     with open(filename, "rb") as f:
         head = f.read(4096)
-    if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE file")
-    if head[12:16] != b"fmt " or struct.unpack("<I", head[16:20])[0] != 16:
-        raise ValueError("unsupported fmt chunk")
-    fmt, channels = struct.unpack("<HH", head[20:24])
-    if fmt != 1 or channels != 1:
-        raise ValueError("only mono integer PCM supported")
-    fs = struct.unpack("<I", head[24:28])[0]
-    nbit = struct.unpack("<H", head[34:36])[0]
-    pos = head.find(b"data", 36)
-    if pos < 0 or pos + 8 > len(head):
-        raise ValueError("no data chunk")
-    n_bytes = struct.unpack("<I", head[pos + 4: pos + 8])[0]
-    return n_bytes // (nbit // 8), fs
+        while True:
+            try:
+                _, n_bytes, fs, nbit = _parse_header(head)
+                return n_bytes // (nbit // 8), fs
+            except ValueError as e:
+                # "no data chunk" may just mean it lies beyond what was
+                # read so far: extend the window until the file ends.
+                # Any other failure is structural — fail fast.
+                if "no data chunk" not in str(e):
+                    raise
+                more = f.read(len(head))
+                if not more:
+                    raise
+                head += more

@@ -30,15 +30,18 @@ def _window_lengths(f0, fs):
     return half, 2 * half + 1
 
 
-def _windowed_waveform(x, fs, f0, position, fft_size, dither):
+def _windowed_waveform(x, fs, f0, position, fft_size, dither, seg=None):
     """F0-adaptive Hann-ish window of the waveform around ``position``
-    (reference src/cheaptrick.cpp:87-142).  Returns (fft_size,) padded."""
+    (reference src/cheaptrick.cpp:87-142).  Returns (fft_size,) padded.
+    ``seg``: pre-read window starting at round(position*fs+0.001)-half
+    (hoisted shared-table read; see ops/common.window_table_build)."""
     half, win_len = _window_lengths(f0, fs)
     i = jnp.arange(fft_size)
     base = i - half
     in_window = i < win_len
     origin = matlab_round(position * fs + 0.001)
-    seg = common.window_slice(x, origin - half, fft_size)
+    if seg is None:
+        seg = common.window_slice(x, origin - half, fft_size)
     pos = base.astype(x.dtype) / 1.5 / fs
     window = 0.5 * jnp.cos(config.K_PI * pos * f0) + 0.5
     window = jnp.where(in_window, window, 0.0)
@@ -74,8 +77,9 @@ def _smoothing_with_recovery(smoothed_power, f0, fs, fft_size, q1):
     return jnp.exp(envelope[: half + 1])
 
 
-def _power_kernel(x, fs, fft_size, f0, position, win_dither):
-    waveform = _windowed_waveform(x, fs, f0, position, fft_size, win_dither)
+def _power_kernel(x, fs, fft_size, f0, position, win_dither, seg=None):
+    waveform = _windowed_waveform(x, fs, f0, position, fft_size, win_dither,
+                                  seg=seg)
     spectrum = jnp.fft.rfft(waveform)
     return spectrum.real**2 + spectrum.imag**2
 
@@ -130,9 +134,17 @@ def _cheap_trick_impl(x, temporal_positions, f0, *, fs, fft_size, q1,
         win_dither = jnp.zeros((n_frames, fft_size), dtype)
         spec_dither = jnp.zeros((n_frames, half + 1), dtype)
 
+    # Hoisted window reads: one table row-gather for all frames (the
+    # per-frame vmap(dynamic_slice) lowers to a sequential
+    # while-of-gathers on TPU); starts replicate _windowed_waveform's
+    # origin/half arithmetic bit-for-bit.
+    w_starts = (matlab_round(temporal_positions * fs + 0.001)
+                - matlab_round(1.5 * fs / f0_eff))
+    segs = common.window_table_read(
+        common.window_table_build(x, fft_size), w_starts)
     power = jax.vmap(
-        lambda f, p, d: _power_kernel(x, fs, fft_size, f, p, d))(
-            f0_eff, temporal_positions, win_dither)
+        lambda f, p, d, s: _power_kernel(x, fs, fft_size, f, p, d, seg=s))(
+            f0_eff, temporal_positions, win_dither, segs)
     # f0 is clamped at the static cap for the DC-correction/smoothing
     # bins (the cap is sized from the caller's f0_ceil, so it only binds
     # on f0 values above the declared ceiling — a documented deviation

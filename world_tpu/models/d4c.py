@@ -28,16 +28,22 @@ BLACKMAN = 2
 
 
 def _windowed_waveform(x, fs_t, f0, position, window_type,
-                       window_length_ratio, max_len, dither):
+                       window_length_ratio, max_len, dither, seg=None):
     """F0-adaptive window with mean removal (src/d4c.cpp:21-84).
-    Returns (max_len,) padded with zeros; dither scale kSafeGuardD4C."""
+    Returns (max_len,) padded with zeros; dither scale kSafeGuardD4C.
+    ``seg``: the (max_len,) waveform window starting at
+    round(position*fs+0.001) - half, pre-read via a shared window
+    table (callers hoist the read out of frame vmaps — the per-frame
+    vmap(dynamic_slice) lowers to a sequential while-of-gathers inside
+    chunk loops); None reads it here."""
     half = matlab_round(window_length_ratio * fs_t / f0 / 2.0)
     win_len = 2 * half + 1
     i = jnp.arange(max_len)
     base = i - half
     in_win = i < win_len
     origin = matlab_round(position * fs_t + 0.001)
-    seg = common.window_slice(x, origin - half, max_len)
+    if seg is None:
+        seg = common.window_slice(x, origin - half, max_len)
     pos = (2.0 * base.astype(x.dtype) / window_length_ratio) / fs_t
     if window_type == HANNING:
         window = 0.5 * jnp.cos(config.K_PI * pos * f0) + 0.5
@@ -51,12 +57,13 @@ def _windowed_waveform(x, fs_t, f0, position, window_type,
     return jnp.where(in_win, waveform - window * coeff, 0.0), half
 
 
-def _love_train_frame(x, fs_t, fft_size, boundaries, f0, position, dither):
+def _love_train_frame(x, fs_t, fft_size, boundaries, f0, position, dither,
+                      seg=None):
     """Cumulative band-power ratio for VUV detection
     (src/d4c.cpp:227-252)."""
     b0, b1, b2 = boundaries
     waveform, _ = _windowed_waveform(x, fs_t, f0, position, BLACKMAN, 3.0,
-                                     fft_size, dither)
+                                     fft_size, dither, seg=seg)
     spec = jnp.fft.rfft(waveform)
     power = spec.real**2 + spec.imag**2
     k = jnp.arange(power.shape[0])
@@ -65,10 +72,10 @@ def _love_train_frame(x, fs_t, fft_size, boundaries, f0, position, dither):
     return cum[b1] / cum[b2]
 
 
-def _centroid(x, fs_t, fft_size, f0, position, dither):
+def _centroid(x, fs_t, fft_size, f0, position, dither, seg=None):
     """Energy centroid (src/d4c.cpp:90-120)."""
     waveform, half = _windowed_waveform(x, fs_t, f0, position, BLACKMAN, 4.0,
-                                        fft_size, dither)
+                                        fft_size, dither, seg=seg)
     # Normalization runs over indices 0..2*round(2fs/f0) == the window.
     power = jnp.sum(waveform**2)
     waveform = waveform / jnp.sqrt(power)
@@ -146,7 +153,8 @@ def _coarse_aperiodicity(static_group_delay, fs_static, fft_size, n_bands,
 
 
 def _d4c_body_chunk(x, fs_t, fs_static, fft_size_d4c, n_bands, window,
-                    window_length, f0_cap, b_max, f0s, positions, dithers):
+                    window_length, f0_cap, b_max, f0s, positions, dithers,
+                    wread=None):
     """A chunk of D4CGeneralBody frames (src/d4c.cpp:293-321): coarse
     aperiodicity values per band, before the frequency-axis interp.
 
@@ -161,17 +169,38 @@ def _d4c_body_chunk(x, fs_t, fs_static, fft_size_d4c, n_bands, window,
     # (default 1200 Hz covers kCeilF0*1.1 — see cheaptrick.f0_cap_for).
     f0s = jnp.minimum(f0s, f0_cap)
 
-    def part1(f0, position, dithers):
+    if wread is not None:
+        # Hoisted window reads: the chunk's 3 windows/frame in ONE
+        # table row-gather (a per-frame vmap(dynamic_slice) inside the
+        # chunk while lowers to a sequential while-of-gathers, ~2 ms
+        # per window family per step).  Starts replicate
+        # _windowed_waveform's origin/half arithmetic bit-for-bit.
+        half = matlab_round(4.0 * fs_t / f0s / 2.0)
+        starts = jnp.concatenate([
+            matlab_round((positions - 0.25 / f0s) * fs_t + 0.001) - half,
+            matlab_round((positions + 0.25 / f0s) * fs_t + 0.001) - half,
+            matlab_round(positions * fs_t + 0.001) - half])
+        fc3 = f0s.shape[0]
+        segs3 = wread(starts)
+        seg1, seg2, seg3 = (segs3[:fc3], segs3[fc3: 2 * fc3],
+                            segs3[2 * fc3:])
+    else:
+        seg1 = seg2 = seg3 = jnp.zeros((f0s.shape[0], 0), dtype)
+
+    def part1(f0, position, dithers, s1, s2, s3):
+        nz = None if wread is None else (s1, s2, s3)
         c1 = _centroid(x, fs_t, fft_size_d4c, f0, position - 0.25 / f0,
-                       dithers[0])
+                       dithers[0], seg=None if nz is None else s1)
         c2 = _centroid(x, fs_t, fft_size_d4c, f0, position + 0.25 / f0,
-                       dithers[1])
-        waveform, _ = _windowed_waveform(x, fs_t, f0, position, HANNING,
-                                         4.0, fft_size_d4c, dithers[2])
+                       dithers[1], seg=None if nz is None else s2)
+        waveform, _ = _windowed_waveform(
+            x, fs_t, f0, position, HANNING, 4.0, fft_size_d4c,
+            dithers[2], seg=None if nz is None else s3)
         spec = jnp.fft.rfft(waveform)
         return c1 + c2, spec.real**2 + spec.imag**2
 
-    centroid_raw, power_raw = jax.vmap(part1)(f0s, positions, dithers)
+    centroid_raw, power_raw = jax.vmap(part1)(f0s, positions, dithers,
+                                              seg1, seg2, seg3)
 
     if dtype == jnp.float64:
         dc = jax.vmap(lambda s, f: common.dc_correction(
@@ -254,10 +283,22 @@ def _d4c_impl(x, temporal_positions, f0, fs_t, *, fs, fft_size, threshold,
     else:
         lt_dither = jnp.zeros((n_frames, max_lt), dtype)
 
+    # Shared window tables: one row-gather read per window family
+    # replaces per-frame vmap(dynamic_slice) (sequential while-gathers
+    # on TPU, ~2 ms each inside the chunk loop).  fft_lt and fft_d4c
+    # coincide at most rates; build each distinct size once.
+    packs = {m: common.window_table_build(x, m)
+             for m in {fft_lt, fft_d4c}}
+
+    half_lt = matlab_round(3.0 * fs_t / f0_lt / 2.0)
+    lt_starts = matlab_round(temporal_positions * fs_t + 0.001) - half_lt
+    lt_segs = common.window_table_read(packs[fft_lt], lt_starts)
+
     pad = jnp.zeros((n_frames, fft_lt - max_lt), dtype)
-    ap0 = jax.vmap(lambda f, p, d: _love_train_frame(
-        x, fs_t, fft_lt, boundaries, f, p, d))(
-            f0_lt, temporal_positions, jnp.concatenate([lt_dither, pad], 1))
+    ap0 = jax.vmap(lambda f, p, d, s: _love_train_frame(
+        x, fs_t, fft_lt, boundaries, f, p, d, seg=s))(
+            f0_lt, temporal_positions,
+            jnp.concatenate([lt_dither, pad], 1), lt_segs)
     ap0 = jnp.where(voiced, ap0, 0.0)
 
     passing = voiced & (ap0 > threshold)
@@ -292,13 +333,16 @@ def _d4c_impl(x, temporal_positions, f0, fs_t, *, fs, fft_size, threshold,
     order_p = jnp.concatenate([order, jnp.zeros(f_pad, order.dtype)])
     needed = (n_pass + fc - 1) // fc
 
+    wread = functools.partial(common.window_table_read, packs[fft_d4c])
+
     def body_fn(carry):
         i, acc = carry
         idxs = jax.lax.dynamic_slice(order_p, (i * fc,), (fc,))
         cc = _d4c_body_chunk(
             x, fs_t, fs, fft_d4c, n_bands, window, window_length,
             jnp.asarray(f0_cap, dtype), b_max,
-            f0_body[idxs], temporal_positions[idxs], dither_full[idxs])
+            f0_body[idxs], temporal_positions[idxs], dither_full[idxs],
+            wread=wread)
         return i + 1, jax.lax.dynamic_update_slice(acc, cc, (i * fc, 0))
 
     acc0 = jnp.zeros((n_frames + f_pad, n_bands), dtype)
