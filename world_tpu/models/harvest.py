@@ -517,7 +517,7 @@ def _refine_all(y, fs_t, positions, cands, f0_floor, f0_ceil, sizes,
             y, c0.astype(jnp.int32) - hw_max - 1, W)
         segs_p, segs_m = segs[:, hw_max:], segs[:, hw_max::-1]
 
-        sc = 4
+        sc = 1
         s_pad = (-n_slots) % sc
         f0_filled = jnp.concatenate(
             [f0_filled, jnp.full((n_frames, s_pad), 100.0, y.dtype)], 1)
@@ -532,14 +532,12 @@ def _refine_all(y, fs_t, positions, cands, f0_floor, f0_ceil, sizes,
         # once outside the loop; values are bit-identical.
         f0_t = f0_filled.T  # (S+pad, F)
 
-        # Two-tier chunking: per-pair refine cost is O(window) and
-        # hw = 1.5 fs/f0 + 1, while slots are channel-ordered so low-f0
-        # candidates concentrate in EARLY chunks.  Chunks whose widest
-        # valid candidate fits hw_half run with half windows (the folds
-        # beyond hw are exact zeros, so only f32 reduction-tree order
-        # differs); chunks with no valid slot at all are skipped.  Chunk
-        # index lists are packed by two 28-element sorts (trivial).
-        hw_half = hw_max // 2
+        # Tiered per-slot chunking: per-pair refine cost is O(window)
+        # and hw = 1.5 fs/f0 + 1.  sc=1 measured fastest (28 -> 19 ms
+        # combined at sc=4 -> 1 on the fixture): smaller chunks fit
+        # VMEM (sc=8 regressed to 39 ms) and give each slot its own
+        # window tier — a single low-f0 slot no longer forces chunk
+        # neighbors wide.  Slots with no valid candidate are skipped.
         inv_p = jnp.concatenate(
             [invalid, jnp.ones((n_frames, s_pad), bool)], 1)
         valid_m = (~inv_p).reshape(n_frames, n_chunks, sc)
@@ -548,12 +546,14 @@ def _refine_all(y, fs_t, positions, cands, f0_floor, f0_ceil, sizes,
         chunk_hw = jnp.max(jnp.where(valid_m, hw_all, 0), axis=(0, 2))
         chunk_any = jnp.any(valid_m, axis=(0, 2))
         cidx = jnp.arange(n_chunks)
-        full = chunk_any & (chunk_hw > hw_half)
-        halfc = chunk_any & ~full
-        c_full = jnp.argsort(jnp.where(full, cidx, BIG))
-        c_half = jnp.argsort(jnp.where(halfc, cidx, BIG))
-        n_full = jnp.sum(full)
-        n_half = jnp.sum(halfc)
+        # Tier ladder (hw_max, hw_max/2, hw_max/4, ...): the while trip
+        # count is one per valid slot REGARDLESS of tiering (sc=1), so
+        # finer tiers only shrink each iteration's window width toward
+        # the slot's true hw (folds beyond hw are exact zeros — only
+        # the f32 reduction-tree order differs between tiers).
+        tiers = [hw_max]
+        while tiers[-1] >= 48:
+            tiers.append(tiers[-1] // 2)
 
         def make_body(order, hw_kernel, sp, sm):
             def body(carry):
@@ -575,15 +575,19 @@ def _refine_all(y, fs_t, positions, cands, f0_floor, f0_ceil, sizes,
             return body
 
         zeros = jnp.zeros((n_slots + s_pad, n_frames), y.dtype)
-        _, refined, scores = jax.lax.while_loop(
-            lambda c: c[0] < n_full,
-            make_body(c_full, hw_max, segs_p, segs_m),
-            (0, zeros, zeros))
-        _, refined, scores = jax.lax.while_loop(
-            lambda c: c[0] < n_half,
-            make_body(c_half, hw_half,
-                      segs_p[:, : hw_half + 1], segs_m[:, : hw_half + 1]),
-            (0, refined, scores))
+        refined, scores = zeros, zeros
+        for k, hw_k in enumerate(tiers):
+            lo = tiers[k + 1] if k + 1 < len(tiers) else 0
+            sel = chunk_any & (chunk_hw > lo)
+            if k > 0:
+                sel &= chunk_hw <= hw_k
+            order_k = jnp.argsort(jnp.where(sel, cidx, BIG))
+            n_k = jnp.sum(sel)
+            _, refined, scores = jax.lax.while_loop(
+                lambda c, n_k=n_k: c[0] < n_k,
+                make_body(order_k, hw_k,
+                          segs_p[:, : hw_k + 1], segs_m[:, : hw_k + 1]),
+                (0, refined, scores))
         refined = refined.T
         scores = scores.T
         return (jnp.where(~invalid, refined[:, :n_slots], 0.0),

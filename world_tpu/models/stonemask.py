@@ -107,11 +107,13 @@ def _refine_at_size(x, fs, fft_size, max_len, position, f0):
     return jnp.where(bad, 0.0, t1)
 
 
-def _refine_direct(x, fs_t, max_len, position, f0):
+def _refine_direct(x, fs_t, max_len, position, f0, seg=None):
     """GetRefinedF0 computing only the needed harmonic DFT bins
     (float32/TPU path): one fixed window, no per-fft-size buckets, and
     the two FixF0 passes read 2 then 6 bins as windowed cos/sin dots.
-    The common DFT phase offset cancels in |M|^2 and Im(conj(M) D)."""
+    The common DFT phase offset cancels in |M|^2 and Im(conj(M) D).
+    ``seg``: pre-read (max_len,) window starting at idx0-1 (hoisted
+    shared-table read; see ops/common.window_table_build)."""
     dtype = x.dtype
     hw = (1.5 * fs_t / f0 + 1.0).astype(jnp.int32)
     win_len = 2 * hw + 1
@@ -129,7 +131,8 @@ def _refine_direct(x, fs_t, max_len, position, f0):
     diff_window = jnp.where(i == 0, -nxt / 2.0, diff_window)
     diff_window = jnp.where(i == win_len - 1, prv / 2.0, diff_window)
     diff_window = jnp.where(in_win, diff_window, 0.0)
-    seg = common.window_slice(x, idx0 - 1, max_len)
+    if seg is None:
+        seg = common.window_slice(x, idx0 - 1, max_len)
     seg = jnp.where(in_win, seg, 0.0)
     xm = seg * main_window
     xd = seg * diff_window
@@ -189,9 +192,17 @@ def _stone_mask_impl(x, temporal_positions, f0, fs_t, *, fs):
             refined = jnp.where(frame_fft == fft_size, vals, refined)
     else:
         max_len = max(sizes) // 2  # >= 2*hw_max+1 by bucket construction
-        refined = jax.vmap(lambda p, f: _refine_direct(
-            x, fs_t, max_len, p, f))(temporal_positions,
-                                     f0_safe.astype(dtype))
+        # Hoisted window reads: one table row-gather for all frames
+        # (the per-frame vmap(dynamic_slice) lowers to a sequential
+        # while-of-gathers on TPU).  idx0 replicates _refine_direct's
+        # start arithmetic bit-for-bit (hw from the same f0_safe).
+        idx0 = matlab_round(
+            (temporal_positions - hw.astype(dtype) / fs_t) * fs_t)
+        segs = common.window_table_read(
+            common.window_table_build(x, max_len), idx0 - 1)
+        refined = jax.vmap(lambda p, f, s: _refine_direct(
+            x, fs_t, max_len, p, f, seg=s))(temporal_positions,
+                                            f0_safe.astype(dtype), segs)
 
     # Reject out-of-range inputs and over-large corrections
     # (src/stonemask.cpp:185-208).
