@@ -22,8 +22,9 @@ if str(REPO) not in sys.path:  # script lives in tools/, package at root
     sys.path.insert(0, str(REPO))
 
 
-def _golden(name):
-    return np.fromfile(REPO / "tests" / "goldens" / name)
+def _golden(name, fs=22050):
+    d = "goldens" if fs == 22050 else f"goldens_fs{fs // 1000}"
+    return np.fromfile(REPO / "tests" / d / name)
 
 
 def make_stage(stage, fs, x, batch):
@@ -119,11 +120,10 @@ def make_stage(stage, fs, x, batch):
     raise SystemExit(f"unknown stage {stage}")
 
 
-def run(stage="pipeline", batch=16):
+def run(stage="pipeline", batch=16, fs=22050):
     import jax
 
-    x = _golden("x.f64").astype(np.float32)
-    fs = 22050
+    x = _golden("x.f64", fs).astype(np.float32)
     fn, tail, make_input = make_stage(stage, fs, x, batch)
 
     out = fn(make_input())  # compile
@@ -204,4 +204,5 @@ def run(stage="pipeline", batch=16):
 
 if __name__ == "__main__":
     run(sys.argv[1] if len(sys.argv) > 1 else "pipeline",
-        int(sys.argv[2]) if len(sys.argv) > 2 else 16)
+        int(sys.argv[2]) if len(sys.argv) > 2 else 16,
+        int(sys.argv[3]) if len(sys.argv) > 3 else 22050)

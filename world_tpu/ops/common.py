@@ -113,13 +113,21 @@ def window_table_build(x, max_len):
     window_table_read.
 
     The table is assembled hierarchically (radix-8 sliding-slab
-    doubling): a flat ~max_len/8-operand concatenate lowers as one
+    doubling): a flat ~tile/8-operand concatenate lowers as one
     kernel per operand on TPU (~10 ms for a 2048-wide table at B=16);
     the log-depth build keeps the same elements in the same positions
-    with ~20 large copies instead."""
+    with ~20 large copies instead.
+
+    Slab width is capped at TILE=1024 samples and wide windows read
+    ceil(max_len/TILE) row-gathers instead: table memory and build
+    traffic scale with n*TILE/8, not n*max_len/8 (a 4096 window over
+    48 kHz audio would otherwise materialize ~86 MB per lane)."""
     n = x.shape[0]
-    n_slab = -(-(max_len + 8) // 8)
-    n_rows = (n + max_len) // 8 + 2          # max q + 1
+    tile = min(1024, -(-max_len // 8) * 8)
+    n_slab = -(-(tile + 8) // 8)
+    # rows must cover q for s up to n + max_len plus (tiles-1)*tile
+    # sub-read offsets — i.e. up to n + 2*max_len.
+    n_rows = (n + 2 * max_len) // 8 + 2
     radices = []
     w = 1
     while w < n_slab:
@@ -141,24 +149,28 @@ def window_table_build(x, max_len):
                              for i in range(r)], axis=1)
         width *= r
     table = t[:n_rows, : 8 * n_slab]
-    return table, n, jnp.zeros(max_len, jnp.int8)
+    return table, n, jnp.zeros((max_len, 0), jnp.int8), tile
 
 
 def window_table_read(pack, starts):
     """Read (len(starts), max_len) edge-clamped windows from a built
-    table: one wide row gather + 8-way static-shift select."""
-    table, n, marker = pack
+    table: one row gather + 8-way static-shift select per tile.
+    Bit-identical to vmap(window_slice)."""
+    table, n, marker, tile = pack
     max_len = marker.shape[0]
     F = starts.shape[0]
     s = jnp.clip(starts.astype(jnp.int32) + max_len, 0, n + max_len)
-    q = s // 8
-    r = s % 8
-    g = table[q]                             # ONE wide row gather (F, .)
-    out = jnp.zeros((F, max_len), table.dtype)
-    for rr in range(8):
-        shifted = jax.lax.slice(g, (0, rr), (F, rr + max_len))
-        out = out + jnp.where((r == rr)[:, None], shifted, 0.0)
-    return out
+    r = s % 8                                # tile is a multiple of 8
+    outs = []
+    for t0 in range(0, max_len, tile):
+        tw = min(tile, max_len - t0)
+        g = table[(s + t0) // 8]             # one row gather (F, .)
+        out = jnp.zeros((F, tw), table.dtype)
+        for rr in range(8):
+            shifted = jax.lax.slice(g, (0, rr), (F, rr + tw))
+            out = out + jnp.where((r == rr)[:, None], shifted, 0.0)
+        outs.append(out)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 def window_slice(x, start, max_len):
