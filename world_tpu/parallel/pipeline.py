@@ -205,6 +205,16 @@ def make_batch_step(fs, x_length, frame_period=5.0, rng_mode="fast",
 
 
 _STEP_CACHE = {}
+# Each entry retains a traced step (and, through jit, its compiled
+# executables + Mesh reference) for the process lifetime.  Corpus jobs
+# should BUCKET lengths (BatchedCorpusRunner does) so the working set
+# stays at a handful of entries; the bound below is a leak backstop
+# for long-lived processes sweeping many (fs, length) shapes, not a
+# working-set tuning knob.  Evicting the oldest entry only drops the
+# Python wrapper — XLA's compilation cache still holds the binary, so
+# a re-build of an evicted shape re-traces (~seconds) but does not
+# recompile.
+_STEP_CACHE_MAX = 64
 
 
 def get_batch_step(fs, x_length, frame_period=5.0, rng_mode="fast",
@@ -216,6 +226,8 @@ def get_batch_step(fs, x_length, frame_period=5.0, rng_mode="fast",
     key = (fs, x_length, frame_period, rng_mode, mesh, f0_method,
            with_synthesis, codec_dims)
     if key not in _STEP_CACHE:
+        while len(_STEP_CACHE) >= _STEP_CACHE_MAX:
+            _STEP_CACHE.pop(next(iter(_STEP_CACHE)))
         _STEP_CACHE[key] = make_batch_step(
             fs, x_length, frame_period=frame_period, rng_mode=rng_mode,
             mesh=mesh, f0_method=f0_method, with_synthesis=with_synthesis,

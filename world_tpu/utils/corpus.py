@@ -176,10 +176,17 @@ class BatchedCorpusRunner(CorpusRunner):
       parameters from either npz flavor.
     """
 
-    def __init__(self, out_dir, fs, bucket_sizes, batch_size=16,
+    def __init__(self, out_dir, fs=None, bucket_sizes=None, batch_size=16,
                  frame_period=5.0, f0_method="harvest", mesh=None,
                  output_format="ref", codec_dims=None, fetch_threads=6,
-                 writer_threads=2, **kw):
+                 writer_threads=2, bucket_seconds=None, **kw):
+        """``fs``+``bucket_sizes`` (samples) pin the whole corpus to one
+        rate (files at any other rate are recorded as failures).
+        ``fs=None`` with ``bucket_seconds`` (durations) handles a
+        MIXED-RATE corpus: each file runs at its own header rate, with
+        per-(fs, length) compiled steps and per-rate fft sizes — the
+        reference's per-file fs handling (tools/audioio.cpp:217-252)
+        at batch scale."""
         super().__init__(out_dir, frame_period=frame_period,
                          f0_method=f0_method, **kw)
         if output_format not in ("ref", "npz"):
@@ -188,8 +195,15 @@ class BatchedCorpusRunner(CorpusRunner):
             raise ValueError("codec_dims requires output_format='npz' "
                              "(the tagged reference format stores "
                              "full-resolution sp/ap)")
+        if (fs is None) == (bucket_sizes is not None):
+            raise ValueError("pass fs+bucket_sizes (single-rate) or "
+                             "fs=None with bucket_seconds (mixed-rate)")
+        if fs is None and not bucket_seconds:
+            raise ValueError("mixed-rate corpus needs bucket_seconds")
         self.fs = fs
-        self.bucket_sizes = sorted(bucket_sizes)
+        self.bucket_sizes = sorted(bucket_sizes) if bucket_sizes else None
+        self.bucket_seconds = sorted(bucket_seconds) if bucket_seconds \
+            else None
         self.batch_size = batch_size
         self.mesh = mesh
         self.output_format = output_format
@@ -197,19 +211,23 @@ class BatchedCorpusRunner(CorpusRunner):
         self.fetch_threads = fetch_threads
         self.writer_threads = writer_threads
 
-    def _step_for(self, length):
+    def _step_for(self, fs, length):
         from ..parallel.pipeline import get_batch_step
         return get_batch_step(
-            self.fs, length, frame_period=self.frame_period,
+            fs, length, frame_period=self.frame_period,
             rng_mode=self.rng_mode, mesh=self.mesh,
             f0_method=self.f0_method, with_synthesis=False,
             codec_dims=self.codec_dims)
 
-    def _write_utt(self, stem, f0, sp, ap, fs, fft_size):
+    def _write_utt(self, stem, f0, sp, ap, fs, fft_size, coded=False):
+        """``coded``: sp/ap are device-coded (codec_dims columns), set
+        by the batched call site — inferring it from the column count
+        would mis-file a full-resolution fallback whenever
+        fft_size//2+1 <= codec_dims."""
         if self.output_format == "ref":
             return super()._write_utt(stem, f0, sp, ap, fs, fft_size)
         from ..io.parameterio import write_npz
-        if self.codec_dims is not None and sp.shape[1] <= self.codec_dims:
+        if coded:
             # batched path: sp/ap arrive already coded on device
             write_npz(stem + ".npz", f0, fs, self.frame_period, fft_size,
                       coded_sp=sp, coded_ap=ap)
@@ -219,14 +237,14 @@ class BatchedCorpusRunner(CorpusRunner):
                       spectrogram=sp, aperiodicity=ap)
         return None
 
-    def _load_rows(self, batch_paths, length):
+    def _load_rows(self, batch_paths, length, fs):
         """Read a batch of wavs into padded float32 rows via the native
         threaded loader.  Returns (rows, lengths, failed_row_indices)."""
         from ..io.native import load_batch
-        rows, lengths, fs, failed = load_batch(batch_paths, length)
+        rows, lengths, got_fs, failed = load_batch(batch_paths, length)
         ok = [i for i in range(len(batch_paths)) if i not in failed]
-        if ok and fs and fs != self.fs:
-            raise ValueError(f"fs {fs} != runner fs {self.fs}")
+        if ok and got_fs and got_fs != fs:
+            raise ValueError(f"fs {got_fs} != bucket fs {fs}")
         return rows, lengths, failed
 
     def run(self, wav_paths):
@@ -244,7 +262,7 @@ class BatchedCorpusRunner(CorpusRunner):
         write_futures = []
 
         # ---- assign buckets from wav headers only (cheap peek) --------
-        buckets = {}  # bucket_len -> list of paths
+        buckets = {}  # (fs, bucket_len) -> list of paths
         for p in wav_paths:
             key = os.path.basename(p)
             if self.checkpoint.is_done(key):
@@ -252,24 +270,31 @@ class BatchedCorpusRunner(CorpusRunner):
                 continue
             try:
                 n, fs = peek_header(p)
-                if fs != self.fs:
-                    raise ValueError(f"fs {fs} != runner fs {self.fs}")
-                b = next((b for b in self.bucket_sizes if n <= b), None)
+                if self.fs is not None:
+                    if fs != self.fs:
+                        raise ValueError(
+                            f"fs {fs} != runner fs {self.fs}")
+                    sizes = self.bucket_sizes
+                else:  # mixed-rate: per-fs sample buckets from seconds
+                    sizes = [int(np.ceil(s * fs))
+                             for s in self.bucket_seconds]
+                b = next((b for b in sizes if n <= b), None)
                 if b is None:
                     raise ValueError(
                         f"{n} samples exceeds largest bucket")
-            except (ValueError, OSError) as e:
+            except Exception as e:  # noqa: BLE001 — recorded per-file
+                # (a malformed wav can also raise struct.error etc.;
+                # the contract is record-and-continue, never abort)
                 self.checkpoint.mark(key, status="failed",
                                      error=f"{type(e).__name__}: {e}")
                 n_failed += 1
                 continue
-            buckets.setdefault(b, []).append(p)
+            buckets.setdefault((fs, b), []).append(p)
 
-        fft_size = config.get_fft_size_for_cheaptrick(self.fs)
-
-        def write_one(stem, key, f0r, spr, apr, secs, nf):
+        def write_one(stem, key, fs, fft_size, f0r, spr, apr, secs, nf):
             try:
-                self._write_utt(stem, f0r, spr, apr, self.fs, fft_size)
+                self._write_utt(stem, f0r, spr, apr, fs, fft_size,
+                                coded=self.codec_dims is not None)
                 return (key, "ok", secs, nf, None)
             except Exception as e:  # noqa: BLE001 — recorded per-file
                 return (key, "failed", secs, nf,
@@ -280,8 +305,8 @@ class BatchedCorpusRunner(CorpusRunner):
             (retrying the step on failure, falling back to the per-file
             runner if it keeps failing) and queue the file writes."""
             nonlocal audio_seconds, frames, n_done, n_failed
-            handles, rows, length, batch_paths, lengths = pending
-            step = self._step_for(length)
+            handles, rows, fs, length, batch_paths, lengths = pending
+            step = self._step_for(fs, length)
             out = None
             # Transient device-step failures are retried like the
             # per-file runner's; a batch that keeps failing falls back
@@ -316,29 +341,30 @@ class BatchedCorpusRunner(CorpusRunner):
                 frames += m["frames"]
                 return
             f0b, spb, apb = out
+            fft_size = config.get_fft_size_for_cheaptrick(fs)
             for row, p in enumerate(batch_paths):
                 true_len = int(lengths[row])
                 if true_len == 0:
                     continue  # load failure, already recorded
                 nf = config.get_samples_for_dio(
-                    self.fs, true_len, self.frame_period)
+                    fs, true_len, self.frame_period)
                 stem = os.path.join(self.out_dir, os.path.splitext(
                     os.path.basename(p))[0])
                 write_futures.append(writer_pool.submit(
-                    write_one, stem, os.path.basename(p),
+                    write_one, stem, os.path.basename(p), fs, fft_size,
                     f0b[row][:nf], spb[row][:nf], apb[row][:nf],
-                    true_len / self.fs, nf))
+                    true_len / fs, nf))
 
         # ---- double-buffered dispatch loop ----------------------------
         inflight = None
-        for length in sorted(buckets):
-            paths_b = buckets[length]
-            step = self._step_for(length)
+        for fs, length in sorted(buckets):
+            paths_b = buckets[(fs, length)]
+            step = self._step_for(fs, length)
             for b0 in range(0, len(paths_b), self.batch_size):
                 batch_paths = paths_b[b0: b0 + self.batch_size]
                 try:
                     rows, lengths, failed = self._load_rows(
-                        batch_paths, length)
+                        batch_paths, length, fs)
                 except Exception as e:  # noqa: BLE001 — whole batch
                     for p in batch_paths:
                         self.checkpoint.mark(
@@ -359,12 +385,13 @@ class BatchedCorpusRunner(CorpusRunner):
                     handles = step(jnp.asarray(rows))
                 except Exception as e:  # noqa: BLE001 — retried at fetch
                     handles = None
-                    self.log(f"[corpus] batch dispatch (len {length}, "
-                             f"offset {b0}) failed: "
+                    self.log(f"[corpus] batch dispatch (fs {fs}, len "
+                             f"{length}, offset {b0}) failed: "
                              f"{type(e).__name__}: {e}")
                 if inflight is not None:
                     complete(inflight)
-                inflight = (handles, rows, length, batch_paths, lengths)
+                inflight = (handles, rows, fs, length, batch_paths,
+                            lengths)
         if inflight is not None:
             complete(inflight)
 
