@@ -54,7 +54,7 @@ def _timed(step, tail, make_input, iters=ITERS):
 
 def main(sections=None):
     """Run the benchmark; ``sections`` (a set) restricts to a subset of
-    {"pipeline", "stages", "48k", "corpus", "streaming"} for quick
+    {"pipeline", "stages", "48k", "longform", "corpus", "streaming"} for quick
     re-measurement of one block (None = all, the driver contract)."""
     import jax
     import jax.numpy as jnp
@@ -180,6 +180,46 @@ def main(sections=None):
         dt48 = _timed(step48, tail4, fresh48, iters=3)
         result["harvest_pipeline_rtf_48k"] = round(
             BATCH * len(x48) / 48000 / dt48, 2)
+
+    # ---- long-form: 5 minutes of 48 kHz through chunked harvest --------
+    # SURVEY §5's long-context obligation: halo-chunked analyze_long on
+    # the production path (int16 input converted on device, batched
+    # pipelined dispatch, on-device codec so full (F, fft/2+1) tensors
+    # never cross the ~15 MB/s tunnel).  First call compiles; the timed
+    # run uses content never submitted before.
+    if want("longform"):
+        from world_tpu.parallel.longform import analyze_long
+
+        xl48 = np.fromfile("tests/goldens_fs48/x.f64")
+        secs = 300.0
+        reps = int(np.ceil(secs * 48000 / len(xl48)))
+        base = np.tile(xl48, reps)[: int(secs * 48000)]
+
+        def fresh_long():
+            s = 0.4 + 0.4 * rng.random()
+            return (np.clip(base * s, -0.999, 0.999)
+                    * 32767).astype(np.int16)
+
+        # 6.25 s chunks x 2-lane batches measured best on the one-chip
+        # tunnel (sweep: 16s/8 44.9, 12.5s/8 51.3, 12.5s/4 59.2,
+        # 12.5s/2 64.4, 8.3s/2 66.3, 6.25s/2 ~72, 6.25s/1 52.8): fine
+        # batches overlap transfers with compute almost fully, and the
+        # remaining gap to the batch-16 RTF is the 0.9 s halo
+        # replicated per 6.25 s chunk (14% extra analysis compute) —
+        # the documented price of O(chunk) memory instead of the
+        # reference's whole-signal FFT.  Multi-chip meshes shard the
+        # chunk lanes on 'data' instead (see dryrun_multichip).
+        lf_kw = dict(chunk_seconds=6.25, codec_dims=64, batch_lanes=2,
+                     f0_method="harvest")
+        dt_l = None
+        for _ in range(2):  # first run compiles the (8, chunk) shapes
+            xl = fresh_long()
+            t0 = time.perf_counter()
+            tp_l, f0_l, sp_l, ap_l = analyze_long(xl, 48000, **lf_kw)
+            dt_l = time.perf_counter() - t0
+        assert np.isfinite(f0_l).all() and sp_l.shape[1] == 64
+        result["longform_rtf_48k"] = round(secs / dt_l, 2)
+        result["longform_minutes"] = round(secs / 60.0, 1)
 
     # ---- sustained corpus throughput (production path) -----------------
     # End-to-end BatchedCorpusRunner: wav read -> double-buffered device

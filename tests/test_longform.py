@@ -129,3 +129,50 @@ def test_long_synthesis_streaming():
     seg = y[: (len(y) // 2048) * 2048].reshape(-1, 2048)
     rms = seg.std(axis=1)
     assert rms.min() > 0.05 * np.median(rms), (rms.min(), np.median(rms))
+
+
+def test_longform_production_path_codec_batches_int16():
+    """The production longform path (int16 input converted on device,
+    batched pipelined dispatch, on-device codec) must agree with the
+    one-shot float path: identical chunking/stitching, codec round-trip
+    within its documented tolerance."""
+    from world_tpu import config
+    from world_tpu.models.codec import (decode_aperiodicity,
+                                        decode_spectral_envelope)
+
+    fs = 16000
+    x, _ = _long_vowelish(fs, 10.0)
+    xi = (np.clip(x, -1, 1) * 32768).astype(np.int16)
+    xf = xi.astype(np.float64) / 32768.0  # exactly what wavread yields
+
+    tp_a, f0_a, sp_a, ap_a = analyze_long(
+        xf.astype(np.float32), fs, chunk_seconds=3.0, halo_seconds=0.2,
+        f0_method="dio")
+    tp_b, f0_b, csp_b, cap_b = analyze_long(
+        xi, fs, chunk_seconds=3.0, halo_seconds=0.2, f0_method="dio",
+        codec_dims=32, batch_lanes=2)
+
+    assert f0_b.shape == f0_a.shape
+    assert csp_b.shape == (f0_a.shape[0], 32)
+    np.testing.assert_allclose(f0_b, f0_a, rtol=2e-5, atol=1e-3)
+
+    # Same-oracle comparison: code the float path's output with the
+    # same codec — the batched/int16/device-coded path must match it
+    # (float32 vs float64 arithmetic noise only), independent of the
+    # mel codec's own (lossy) reconstruction quality.
+    from world_tpu.models.codec import (code_aperiodicity,
+                                        code_spectral_envelope)
+
+    fft = config.get_fft_size_for_cheaptrick(fs)
+    csp_a = np.asarray(code_spectral_envelope(
+        sp_a.astype(np.float64), fs, 32))
+    cap_a = np.asarray(code_aperiodicity(ap_a.astype(np.float64), fs))
+    np.testing.assert_allclose(csp_b, csp_a, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(cap_b, cap_a, rtol=2e-3, atol=2e-3)
+
+    sp_dec = np.asarray(decode_spectral_envelope(
+        csp_b.astype(np.float64), fs, fft))
+    ap_dec = np.asarray(decode_aperiodicity(
+        cap_b.astype(np.float64), fs, fft))
+    assert sp_dec.shape == sp_a.shape and ap_dec.shape == ap_a.shape
+    assert np.isfinite(sp_dec).all() and np.isfinite(ap_dec).all()

@@ -178,3 +178,57 @@ def test_frame_axis_requires_inexact_rng():
     mesh = make_mesh(n_data=1, n_frame=8)
     with pytest.raises(ValueError):
         make_batch_step(22050, 4096, rng_mode="exact", mesh=mesh)
+
+
+def test_harvest_frame_sharding_shrinks_memory():
+    """Round-4 proof covered dio only; pin the harvest analysis step's
+    memory contract too.  Harvest's temp memory is DOMINATED by its f0
+    stage (channel map + refine), which is deliberately outside the
+    frame shard_map (the contour fixing is frame-sequential), so the
+    >2x shrink of the dio test cannot hold here — frame sharding only
+    shrinks the sp/ap portion (measured ~4% of this fixture's temp).
+    Assert strictly-smaller so a GSPMD regression that REPLICATES the
+    sp/ap compute (making sharded memory >= unsharded) trips; the
+    strong partitioning proof for harvest stays with the output shard
+    shapes + zero-all-gather assertions above."""
+    fs = 22050
+    n = 8768
+    xb = jnp.zeros((2, n), jnp.float32)
+    plain = make_batch_step(fs, n, rng_mode="fast", f0_method="harvest",
+                            with_synthesis=False)
+    t_plain = plain.lower(xb).compile().memory_analysis() \
+        .temp_size_in_bytes
+    mesh = make_mesh(n_data=1, n_frame=8)
+    sharded = make_batch_step(fs, n, rng_mode="fast",
+                              f0_method="harvest", mesh=mesh,
+                              with_synthesis=False)
+    xs = jax.device_put(xb, NamedSharding(mesh, P("data", None)))
+    t_sharded = sharded.lower(xs).compile().memory_analysis() \
+        .temp_size_in_bytes
+    assert t_sharded < 0.99 * t_plain, (t_sharded, t_plain)
+
+
+def test_synthesis_step_allgather_is_bounded():
+    """Synthesis is frame-COUPLED (every output sample overlap-adds
+    pulses whose envelopes come from neighboring frames), so the
+    synthesis-included step deliberately all-gathers sp/ap along
+    'frame' ONCE in front of the monolithic OLA and otherwise keeps
+    the analysis compute frame-sharded.  This tripwire pins that
+    contract on the compiled executable: the all-gather volume stays
+    within ~2 copies of the (B, F, K) sp/ap pair (+ slack for f0 and
+    padding) — a GSPMD regression that re-gathers per pulse or
+    replicates the analysis would blow through the bound."""
+    fs = 22050
+    n = 8768
+    F, K = 80, 1025
+    B = 2
+    xb = jnp.zeros((B, n), jnp.float32)
+    mesh = make_mesh(n_data=1, n_frame=8)
+    sharded = make_batch_step(fs, n, rng_mode="fast",
+                              f0_method="harvest", mesh=mesh,
+                              with_synthesis=True)
+    xs = jax.device_put(xb, NamedSharding(mesh, P("data", None)))
+    comp = sharded.lower(xs).compile()
+    ag = _allgather_bytes(comp.as_text())
+    pair = 2 * B * F * K * 4
+    assert 0 < ag <= 2.5 * pair, (ag, pair)

@@ -27,6 +27,7 @@ Synthesis of long parameter tracks goes through StreamingSynthesizer
 across chunk boundaries exactly, with a large render buffer.
 """
 
+import functools
 import math
 
 import jax
@@ -41,13 +42,74 @@ from ..models.harvest import _harvest_impl
 from ..models.stonemask import _stone_mask_impl
 
 
+@functools.lru_cache(maxsize=16)
+def _chunk_fn(fs, frame_period, f0_method, rng_mode, codec_dims, int_in,
+              dtype_name):
+    """Memoized jitted per-chunk pipeline: a fresh jax.jit wrapper
+    re-traces and re-lowers on EVERY call even when the XLA binary is
+    cached (~90 s for an 8-lane 16 s harvest batch) — the process-wide
+    cache makes repeated analyze_long calls trace once."""
+    dtype = jnp.dtype(dtype_name)
+    option = config.CheapTrickOption().resolve(fs)
+    fft_size = option.fft_size
+    fs_t = jnp.asarray(float(fs), dtype)
+
+    def one(xc):
+        if int_in:
+            # exact power-of-2 scaling, identical to wavread's
+            # val / 2^(nbit-1) done on host
+            xc = xc.astype(dtype) / 32768.0
+        if f0_method == "harvest":
+            tp, f0 = _harvest_impl(xc, fs=fs, frame_period=frame_period,
+                                   f0_floor=config.K_FLOOR_F0,
+                                   f0_ceil=config.K_CEIL_F0)
+        else:
+            tp, f0 = _dio_impl(xc, fs=fs, frame_period=frame_period,
+                               f0_floor=config.K_FLOOR_F0,
+                               f0_ceil=config.K_CEIL_F0,
+                               channels_in_octave=2.0, speed=1,
+                               allowed_range=0.1)
+            f0 = _stone_mask_impl(xc, tp, f0, fs_t, fs=fs)
+        sp = _cheap_trick_impl(xc, tp, f0, fs=fs, fft_size=fft_size,
+                               q1=option.q1, rng_mode=rng_mode)
+        ap, _ = _d4c_impl(xc, tp, f0, fs_t, fs=fs, fft_size=fft_size,
+                          threshold=config.K_THRESHOLD, rng_mode=rng_mode)
+        if codec_dims is not None:
+            from ..models.codec import (_code_aperiodicity_impl,
+                                        _code_spectral_envelope_impl)
+            sp = _code_spectral_envelope_impl(
+                sp, fs_t, fs=fs, fft_size=fft_size,
+                number_of_dimensions=codec_dims)
+            ap = _code_aperiodicity_impl(ap, fs_t, fs=fs,
+                                         fft_size=fft_size)
+        return f0, sp, ap
+
+    return jax.jit(jax.vmap(one))
+
+
 def analyze_long(x, fs, *, frame_period=5.0, chunk_seconds=8.0,
                  halo_seconds=0.45, f0_method="harvest", rng_mode="fast",
-                 mesh=None):
+                 mesh=None, codec_dims=None, batch_lanes=None):
     """Analyze arbitrarily long audio in fixed-size halo-padded chunks.
 
     Returns (temporal_positions, f0, sp, ap) covering the whole signal
     on the global frame grid.
+
+    Production knobs for the device->host tunnel (hour-scale audio at
+    full spectral resolution would move ~GB/minute):
+
+    - ``codec_dims``: code sp/ap ON DEVICE (models/codec.py) so only
+      (frames, codec_dims) mel-cepstra and (frames, bands) coarse
+      aperiodicity cross to the host (~16x fewer bytes at fft 2048);
+      decode via io.parameterio.load_npz_parameters semantics or
+      models.codec.decode_*.
+    - ``batch_lanes``: dispatch the chunk lanes in batches of this
+      size and fetch results through a thread pool — device compute,
+      host->device input transfer and device->host fetches overlap
+      instead of serializing (the one-shot path holds all lanes in one
+      call).
+    - int16 input is converted to float32 ON DEVICE (exact /2^15, the
+      wavread scaling), halving the input transfer.
     """
     x = np.asarray(x)
     n = len(x)
@@ -70,42 +132,47 @@ def analyze_long(x, fs, *, frame_period=5.0, chunk_seconds=8.0,
         if hi > lo:
             chunks[c, lo - s0: hi - s0] = x[lo:hi]
 
-    dtype = jnp.float32 if x.dtype == np.float32 else jnp.float64
-    xb = jnp.asarray(chunks, dtype)
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        xb = jax.device_put(xb, NamedSharding(mesh, P("data", None)))
+    int_in = x.dtype == np.int16
+    dtype = jnp.float32 if (x.dtype == np.float32 or int_in) \
+        else jnp.float64
 
-    option = config.CheapTrickOption().resolve(fs)
-    fft_size = option.fft_size
-    fs_t = jnp.asarray(float(fs), dtype)
+    jfn = _chunk_fn(fs, frame_period, f0_method, rng_mode, codec_dims,
+                    int_in, jnp.dtype(dtype).name)
 
-    def one(xc):
-        if f0_method == "harvest":
-            tp, f0 = _harvest_impl(xc, fs=fs, frame_period=frame_period,
-                                   f0_floor=config.K_FLOOR_F0,
-                                   f0_ceil=config.K_CEIL_F0)
-        else:
-            tp, f0 = _dio_impl(xc, fs=fs, frame_period=frame_period,
-                               f0_floor=config.K_FLOOR_F0,
-                               f0_ceil=config.K_CEIL_F0,
-                               channels_in_octave=2.0, speed=1,
-                               allowed_range=0.1)
-            f0 = _stone_mask_impl(xc, tp, f0, fs_t, fs=fs)
-        sp = _cheap_trick_impl(xc, tp, f0, fs=fs, fft_size=fft_size,
-                               q1=option.q1, rng_mode=rng_mode)
-        ap, _ = _d4c_impl(xc, tp, f0, fs_t, fs=fs, fft_size=fft_size,
-                          threshold=config.K_THRESHOLD, rng_mode=rng_mode)
-        return f0, sp, ap
+    def put(arr):
+        a = jnp.asarray(arr) if int_in else jnp.asarray(arr, dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            a = jax.device_put(a, NamedSharding(mesh, P("data", None)))
+        return a
 
-    f0c, spc, apc = jax.jit(jax.vmap(one))(xb)
-    f0c, spc, apc = np.asarray(f0c), np.asarray(spc), np.asarray(apc)
+    if batch_lanes and n_chunks > batch_lanes:
+        # Pipelined: dispatch every batch (async), fetch through a
+        # small thread pool so tunnel round trips overlap compute.
+        from concurrent.futures import ThreadPoolExecutor
+        nb = (n_chunks + batch_lanes - 1) // batch_lanes
+        handles = []
+        for b in range(nb):
+            rows = chunks[b * batch_lanes: (b + 1) * batch_lanes]
+            if len(rows) < batch_lanes:
+                rows = np.concatenate([rows, np.zeros(
+                    (batch_lanes - len(rows),) + rows.shape[1:],
+                    rows.dtype)])
+            handles.append(jfn(put(rows)))
+        with ThreadPoolExecutor(4) as pool:
+            futs = [tuple(pool.submit(np.asarray, h) for h in hs)
+                    for hs in handles]
+            parts = [tuple(f.result() for f in fs3) for fs3 in futs]
+        f0c, spc, apc = (np.concatenate([p[i] for p in parts])[:n_chunks]
+                         for i in range(3))
+    else:
+        f0c, spc, apc = jfn(put(chunks))
+        f0c, spc, apc = np.asarray(f0c), np.asarray(spc), np.asarray(apc)
 
     # Stitch: core frames only, padded-lane shapes are all equal.
-    half = fft_size // 2
     f0 = np.zeros(n_frames, f0c.dtype)
-    sp = np.zeros((n_frames, half + 1), spc.dtype)
-    ap = np.zeros((n_frames, half + 1), apc.dtype)
+    sp = np.zeros((n_frames, spc.shape[2]), spc.dtype)
+    ap = np.zeros((n_frames, apc.shape[2]), apc.dtype)
     for c in range(n_chunks):
         g0 = c * core_f
         g1 = min(n_frames, g0 + core_f)

@@ -184,6 +184,13 @@ def make_batch_step(fs, x_length, frame_period=5.0, rng_mode="fast",
             sp_full, ap_full = sp, ap
 
         if with_synthesis:
+            # Synthesis is frame-COUPLED (each output sample
+            # overlap-adds pulses from neighboring frames), so it runs
+            # monolithically per utterance: sp/ap all-gather along
+            # 'frame' exactly once here (~2 copies of (B,F,K) over
+            # ICI), and 'data' stays the synthesis scaling axis.
+            # tests/test_parallel.py::test_synthesis_step_allgather_is_
+            # bounded pins this on the compiled executable.
             with jax.named_scope("world_synthesis"):
                 y = jax.vmap(lambda f, s, a: _synthesis_impl(
                     f, s, a, fs_t, fs=fs, fft_size=fft_size,
