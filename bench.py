@@ -296,9 +296,15 @@ def main(sections=None):
     streaming = {}
 
     # (a) all-parameters-upfront throughput at two buffer sizes.
+    # These runs are ONE device round trip + one ~80 KB fetch end to
+    # end (device-OLA span render), so they measure the tunnel's round
+    # trip as much as the code: identical binaries measured 44-172 ms
+    # across hours (the r04 'streaming regression' was exactly this).
+    # Report best-of-5 as the capability number and the median beside
+    # it so weather stays visible.
     for bs in (64, 4096):
         times = []
-        for it in range(3):
+        for it in range(6):
             synth = StreamingSynthesizer(fs, 5.0, fftg, bs,
                                          number_of_pointers=200,
                                          rng_mode="fast", dtype=np.float32)
@@ -310,9 +316,12 @@ def main(sections=None):
             while synth.synthesis2():
                 rendered += bs
             times.append(time.perf_counter() - t0)
+            synth.close()
         # first iteration compiles the response buckets; take the rest
-        dt = float(np.median(times[1:]))
-        streaming[f"rtf_buf{bs}"] = round(rendered / fs / dt, 2)
+        streaming[f"rtf_buf{bs}"] = round(
+            rendered / fs / float(np.min(times[1:])), 2)
+        streaming[f"rtf_buf{bs}_median"] = round(
+            rendered / fs / float(np.median(times[1:])), 2)
 
     # (b) the reference's marquee REAL-TIME scenario: ONE 5 ms frame per
     # AddParameters, 64-sample buffers drained as they become available
@@ -373,11 +382,16 @@ def main(sections=None):
             wall, len(avail) * bs, synth.holds
 
     frame_feed(paced=False)  # warm up / compile the response buckets
-    call_ms, _, _, wall, rendered, holds = frame_feed(paced=False)
-    streaming["rtf_frame_feed"] = round(rendered / fs / wall, 2)
-    streaming["frame_feed_max_call_ms"] = round(float(call_ms.max()), 3)
-    streaming["frame_feed_p99_call_ms"] = round(
-        float(np.percentile(call_ms, 99)), 3)
+    ff_rtf, ff_max, ff_p99 = [], [], []
+    for _ in range(3):
+        call_ms, _, _, wall, rendered, holds = frame_feed(paced=False)
+        ff_rtf.append(rendered / fs / wall)
+        ff_max.append(float(call_ms.max()))
+        ff_p99.append(float(np.percentile(call_ms, 99)))
+    streaming["rtf_frame_feed"] = round(max(ff_rtf), 2)
+    streaming["rtf_frame_feed_median"] = round(float(np.median(ff_rtf)), 2)
+    streaming["frame_feed_max_call_ms"] = round(max(ff_max), 3)
+    streaming["frame_feed_p99_call_ms"] = round(max(ff_p99), 3)
 
     # Paced at real time: per-buffer lag behind its feed-complete time
     # (buffer b needs parameters through frame ceil(((b+1)*bs)/fs/5ms)+1;

@@ -113,7 +113,8 @@ def _response_batch(envs, ap_ratios, vuvs, noise_draws, noise_sizes,
 # Span buckets (samples) for the device-side OLA: every span length is
 # padded up to one of these so only a handful of XLA programs ever
 # compile.  Multiples of 1024 (the Pallas store block).
-_SPAN_BUCKETS = (2048, 3072, 4096, 6144, 8192, 12288, 16384, 24576, 32768)
+_SPAN_BUCKETS = (2048, 3072, 4096, 6144, 8192, 12288, 16384, 20480,
+                 24576, 32768)
 
 
 @functools.partial(jax.jit, static_argnames=("fft_size", "span",
@@ -427,6 +428,12 @@ class StreamingSynthesizer:
         # tiny sizes, and its response buckets are the warmed-up set).
         self.span_render = span_render
         self.span_min_pulses = max(1, span_min_pulses)
+        # Span calls use a FIXED lane count (one compiled program per
+        # span bucket).  One big call beats splitting: a split batch's
+        # segments fetch SEQUENTIALLY inside one worker item (measured
+        # 2x slower end-to-end than padding to 256 lanes — padded-lane
+        # compute is ~5 ms of device time, a second tunnel round trip
+        # is ~50 ms).
         cap = 1
         while cap < max(lookahead_pulses, self.span_min_pulses, 8):
             cap *= 2
