@@ -131,18 +131,71 @@ def four_stream_block_summaries(filtered, n_valid, block_index, block_mask):
     blk_f = fine[:, take].reshape(4, F, B)
     blk_e = is_edge[:, take].reshape(4, F, B) & jnp.asarray(block_mask)
 
-    # Block-local crossing lists (unrolled over the <=B slots).
-    l1 = l2 = l3 = jnp.full((4, F), -big)
-    for o in range(B):                      # last-3, most recent first
-        v, e = blk_f[..., o], blk_e[..., o]
-        l1, l2, l3 = (jnp.where(e, v, l1), jnp.where(e, l1, l2),
-                      jnp.where(e, l2, l3))
-    f1 = f2 = f3 = f4 = jnp.full((4, F), big)
-    for o in range(B - 1, -1, -1):          # first-4, earliest first
-        v, e = blk_f[..., o], blk_e[..., o]
-        f1, f2, f3, f4 = (jnp.where(e, v, f1), jnp.where(e, f1, f2),
-                          jnp.where(e, f2, f3), jnp.where(e, f3, f4))
-    cnt = jnp.sum(blk_e, axis=-1).astype(dtype)
+    # Block-local crossing lists.  Small blocks (harvest: 1 ms frames
+    # at 8 kHz, B ~ 9) unroll directly; wide blocks (dio: 5 ms frames
+    # at the raw rate, B ~ 110) first reduce 8-slot SUB-blocks and then
+    # merge the sub-summaries — 2B tiny select stages become ~2B/8
+    # larger ones plus ~2B/8 merges, the same elements selected in the
+    # same precedence, so the outputs are bit-identical.
+    if B <= 24:
+        l1 = l2 = l3 = jnp.full((4, F), -big)
+        for o in range(B):                  # last-3, most recent first
+            v, e = blk_f[..., o], blk_e[..., o]
+            l1, l2, l3 = (jnp.where(e, v, l1), jnp.where(e, l1, l2),
+                          jnp.where(e, l2, l3))
+        f1 = f2 = f3 = f4 = jnp.full((4, F), big)
+        for o in range(B - 1, -1, -1):      # first-4, earliest first
+            v, e = blk_f[..., o], blk_e[..., o]
+            f1, f2, f3, f4 = (jnp.where(e, v, f1), jnp.where(e, f1, f2),
+                              jnp.where(e, f2, f3), jnp.where(e, f3, f4))
+        cnt = jnp.sum(blk_e, axis=-1).astype(dtype)
+    else:
+        S = 8
+        pad = (-B) % S
+        if pad:
+            blk_fp = jnp.concatenate(
+                [blk_f, jnp.zeros((4, F, pad), dtype)], -1)
+            blk_ep = jnp.concatenate(
+                [blk_e, jnp.zeros((4, F, pad), bool)], -1)
+        else:
+            blk_fp, blk_ep = blk_f, blk_e
+        B2 = (B + pad) // S
+        sub_f = blk_fp.reshape(4, F, B2, S)
+        sub_e = blk_ep.reshape(4, F, B2, S)
+        sl1 = sl2 = sl3 = jnp.full((4, F, B2), -big)
+        for o in range(S):
+            v, e = sub_f[..., o], sub_e[..., o]
+            sl1, sl2, sl3 = (jnp.where(e, v, sl1), jnp.where(e, sl1, sl2),
+                             jnp.where(e, sl2, sl3))
+        sf1 = sf2 = sf3 = sf4 = jnp.full((4, F, B2), big)
+        for o in range(S - 1, -1, -1):
+            v, e = sub_f[..., o], sub_e[..., o]
+            sf1, sf2, sf3, sf4 = (
+                jnp.where(e, v, sf1), jnp.where(e, sf1, sf2),
+                jnp.where(e, sf2, sf3), jnp.where(e, sf3, sf4))
+        scnt = jnp.sum(sub_e, axis=-1)
+        l1 = l2 = l3 = jnp.full((4, F), -big)
+        for j in range(B2):                 # earliest -> latest
+            c = scnt[..., j]
+            a1, a2, a3 = sl1[..., j], sl2[..., j], sl3[..., j]
+            l1, l2, l3 = (
+                jnp.where(c >= 1, a1, l1),
+                jnp.where(c >= 2, a2, jnp.where(c == 1, l1, l2)),
+                jnp.where(c >= 3, a3, jnp.where(
+                    c == 2, l1, jnp.where(c == 1, l2, l3))))
+        f1 = f2 = f3 = f4 = jnp.full((4, F), big)
+        for j in range(B2 - 1, -1, -1):     # latest -> earliest
+            c = scnt[..., j]
+            b1, b2, b3, b4 = (sf1[..., j], sf2[..., j], sf3[..., j],
+                              sf4[..., j])
+            f1, f2, f3, f4 = (
+                jnp.where(c >= 1, b1, f1),
+                jnp.where(c >= 2, b2, jnp.where(c == 1, f1, f2)),
+                jnp.where(c >= 3, b3, jnp.where(
+                    c == 2, f1, jnp.where(c == 1, f2, f3))),
+                jnp.where(c >= 4, b4, jnp.where(c == 3, f1, jnp.where(
+                    c == 2, f2, jnp.where(c == 1, f3, f4)))))
+        cnt = jnp.sum(scnt, axis=-1).astype(dtype)
     fine0 = blk_f[..., 0]
     edge0 = blk_e[..., 0].astype(dtype)
     return (jnp.stack([l1, l2, l3, f1, f2, f3, f4, cnt, fine0, edge0]),
