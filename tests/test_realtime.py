@@ -418,3 +418,61 @@ def test_streaming_span_render_float32(gold):
     ref_pow = float(np.sum(ref[v] ** 2))
     out_pow = float(np.sum(out[v].astype(np.float64) ** 2))
     assert 0.5 < out_pow / ref_pow < 2.0, out_pow / ref_pow
+
+
+def test_streaming_device_params_matches_host(gold):
+    """Device-resident parameter rows (ring-buffer lerp on device) must
+    produce the same audio as host-computed envelopes: identical
+    arithmetic, different executor, so near-machine agreement."""
+    out_dev = _run_all_at_once(gold)           # device_params default on
+    fs = gold.scalar("fs")
+    f0 = gold["harvest_f0"]
+    sp = gold["cheaptrick_sp"]
+    ap = gold["d4c_ap"]
+    y_length = gold["synthesis2_y"].shape[0]
+    synth = StreamingSynthesizer(fs, 5.0, gold.scalar("fft_size"), 64, 1,
+                                 device_params=False)
+    out_host = np.zeros(y_length)
+    index = 0
+    i = 0
+    n = len(f0)
+    while i < n:
+        if synth.add_parameters(f0[i:], sp[i:], ap[i:]):
+            i = n
+        while synth.synthesis2():
+            take = min(64, y_length - index)
+            if take > 0:
+                out_host[index: index + take] = synth.buffer[:take]
+            index += 64
+    synth.close()
+    v = np.abs(out_host) > 0
+    assert v.any()
+    s = snr_db(out_host[v], out_dev[v])
+    assert s > 200.0, s
+
+
+def test_streaming_device_params_ring_wrap(gold):
+    """A parameter ring smaller than the stream forces wraparound and
+    (for pulses referencing evicted rows) the host fallback — audio
+    must stay correct through both."""
+    fs = gold.scalar("fs")
+    f0 = gold["harvest_f0"]
+    sp = gold["cheaptrick_sp"]
+    ap = gold["d4c_ap"]
+    ref = gold["synthesis3_y"]
+    y_length = ref.shape[0]
+    synth = StreamingSynthesizer(fs, 5.0, gold.scalar("fft_size"), 64,
+                                 100, param_ring_rows=64)
+    out = np.zeros(y_length)
+    index = 0
+    for i in range(len(f0)):
+        assert synth.add_parameters(f0[i: i + 1], sp[i: i + 1],
+                                    ap[i: i + 1])
+        while synth.synthesis2():
+            take = min(64, y_length - index)
+            if take > 0:
+                out[index: index + take] = synth.buffer[:take]
+            index += 64
+    synth.close()
+    s = snr_db(ref[np.abs(ref) > 0], out[np.abs(ref) > 0])
+    assert s > 80.0, s

@@ -70,7 +70,9 @@ def main():
             events.clear()
             synth = rt.StreamingSynthesizer(
                 fs, 5.0, fftg, bs, number_of_pointers=200,
-                rng_mode="fast", dtype=np.float32)
+                rng_mode="fast", dtype=np.float32,
+                device_params=os.environ.get("WORLD_STREAM_DEV",
+                                             "1") != "0")
             scale = np.float32(0.5 + rng.random())
             t_add0 = time.perf_counter()
             ok = synth.add_parameters(f0g, spg * scale, apg)

@@ -110,6 +110,58 @@ def _response_batch(envs, ap_ratios, vuvs, noise_draws, noise_sizes,
             envs, ap_ratios, vuvs, noise_draws, noise_sizes)
 
 
+def _lerp_params(param_buf, los, his, ws):
+    """Per-pulse envelope/aperiodicity from DEVICE-RESIDENT parameter
+    rows: env = lerp(|sp|), ap = lerp(clip(ap))^2 over the bracketing
+    frames — the same arithmetic _pulse_env does on host, but reading
+    rows uploaded once per AddParameters chunk instead of shipping
+    (cap, fft/2+1) arrays with every render (~1 MB/call, 30-100 ms of
+    tunnel time on the render critical path)."""
+    R = param_buf.shape[1]
+    sp_lo = param_buf[0, los % R]
+    sp_hi = param_buf[0, his % R]
+    ap_lo = param_buf[1, los % R]
+    ap_hi = param_buf[1, his % R]
+    w = ws[:, None]
+    envs = (1.0 - w) * sp_lo + w * sp_hi
+    aps = ((1.0 - w) * ap_lo + w * ap_hi) ** 2
+    return envs, aps
+
+
+@functools.partial(jax.jit, static_argnames=("fft_size", "fast_noise"))
+def _response_batch_dev(param_buf, los, his, ws, vuvs, noise_draws,
+                        noise_sizes, dc_remover, *, fft_size,
+                        fast_noise=False):
+    envs, aps = _lerp_params(param_buf, los, his, ws)
+    return _response_batch(envs, aps, vuvs, noise_draws, noise_sizes,
+                           dc_remover, fft_size=fft_size,
+                           fast_noise=fast_noise)
+
+
+@functools.partial(jax.jit, static_argnames=("fft_size", "span",
+                                             "fast_noise"))
+def _span_batch_dev(param_buf, los, his, ws, vuvs, noise_draws,
+                    noise_sizes, dc_remover, offs, clips, *, fft_size,
+                    span, fast_noise=False):
+    envs, aps = _lerp_params(param_buf, los, his, ws)
+    return _span_batch(envs, aps, vuvs, noise_draws, noise_sizes,
+                       dc_remover, offs, clips, fft_size=fft_size,
+                       span=span, fast_noise=fast_noise)
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _ring_store(param_buf, rows, start):
+    """Write a chunk's (2, F, half+1) parameter rows at ring rows
+    (start + i) % R.  A row scatter (~30x a slice on TPU) is fine
+    here: stores run at AddParameters time, off the render critical
+    path, and F is small.  Donated: updates are in-place on device;
+    the runtime serializes against in-flight readers."""
+    R = param_buf.shape[1]
+    F = rows.shape[1]
+    idx = (start + jnp.arange(F)) % R
+    return param_buf.at[:, idx, :].set(rows)
+
+
 # Span buckets (samples) for the device-side OLA: every span length is
 # padded up to one of these so only a handful of XLA programs ever
 # compile.  Multiples of 1024 (the Pallas store block).
@@ -380,7 +432,8 @@ class StreamingSynthesizer:
                  number_of_pointers, rng_mode="exact", dtype=np.float64,
                  lookahead_pulses=256, hold_on_miss=False,
                  dispatch_min_pulses=None, hold_force_ms=15.0,
-                 span_render=True, span_min_pulses=8):
+                 span_render=True, span_min_pulses=8,
+                 device_params=True, param_ring_rows=4096):
         self.fs = fs
         self.frame_period = frame_period / 1000.0
         self.fft_size = fft_size
@@ -441,6 +494,17 @@ class StreamingSynthesizer:
         self.dc_remover = jnp.asarray(_dc_remover_half(fft_size // 2, dtype))
         self.buffer = np.zeros(buffer_size * 2 + fft_size, dtype)
         self.chunks = {}
+        # Device-resident parameters: |sp| and clipped ap rows live in
+        # a (2, R, fft/2+1) device ring keyed by global frame index
+        # mod R, uploaded ONCE per AddParameters chunk; render calls
+        # then ship only per-pulse (lo, hi, w) indices instead of
+        # (cap, fft/2+1) envelope arrays (~1 MB and 30-100 ms of
+        # tunnel time per bulk render).  Batches referencing frames
+        # older than R fall back to host envelopes transparently.
+        self._pring = max(64, param_ring_rows) if device_params else None
+        self._pbuf = (jnp.zeros((2, self._pring, fft_size // 2 + 1),
+                                dtype) if device_params else None)
+        self._plock = threading.Lock()
         # Late binding so a subclass/monkeypatched _render_dispatch is
         # honored even when swapped in after construction.
         self._worker = _RenderWorker(
@@ -535,6 +599,13 @@ class StreamingSynthesizer:
         chunk.spectrogram = np.asarray(spectrogram, self.dtype)
         chunk.aperiodicity = np.asarray(aperiodicity, self.dtype)
         self.chunks[self.head_pointer] = chunk
+        if self._pbuf is not None:
+            rows = np.stack([np.abs(chunk.spectrogram),
+                             np.clip(chunk.aperiodicity, 0.001,
+                                     1.0 - 1e-12)]).astype(self.dtype)
+            with self._plock:
+                self._pbuf = _ring_store(self._pbuf, jnp.asarray(rows),
+                                         chunk.f0_origin)
 
         if self.cumulative_frame < 1:
             self.handoff_f0 = f0[-1]
@@ -717,7 +788,10 @@ class StreamingSynthesizer:
         start_sample = max(0, int(np.ceil(
             (c.f0_origin - 1) * self.frame_period * self.fs)))
         vuv = float(c.interpolated_vuv[current_location - start_sample + 1])
-        return env, ap, vuv
+        # (lo, hi==lo+1 except at exact frames, w) also index the
+        # device parameter ring; w=0 at lo==hi makes the device lerp
+        # read the same single row.
+        return env, ap, vuv, lo, (lo if lo == hi else lo + 1), w
 
     def _rng_ref(self, noise_size):
         """Allocate the pulse's RNG reference in stream order (mutates
@@ -742,38 +816,64 @@ class StreamingSynthesizer:
             return fast + 1, (draw, fast + 1)
         return 0, counters
 
-    def _pulse_arrays(self, pulses, cap):
+    def _pulse_arrays(self, pulses, cap, dev):
         """Pad a batch of pulse params to ``cap`` lanes and build the
-        device inputs (envs, aps, vuvs, sizes, noise, fast).  Padded
+        device inputs (env_args, vuvs, sizes, noise, fast).  Padded
         lanes carry vuv=0 / noise_size=0 and contribute exact zeros.
+        ``dev``: env_args is (los, his, ws) indexing the device
+        parameter ring (padded lanes read row 0 with w=0 — harmless,
+        their responses are exact zeros); otherwise it is the
+        materialized (envs, aps) host arrays.
         Fast-mode noise ships as (key, refs) and is generated INSIDE
         the render program (fast=True) — a separate noise dispatch
         would chain a second ~27 ms tunnel round trip per render."""
         fft = self.fft_size
-        envs = np.ones((cap, fft // 2 + 1), self.dtype)
-        aps = np.ones((cap, fft // 2 + 1), self.dtype)
         vuvs = np.zeros(cap, self.dtype)
         sizes = np.zeros(cap, np.int32)
-        for k, (env, ap, vuv, _, ns, _) in enumerate(pulses):
-            envs[k], aps[k], vuvs[k], sizes[k] = env, ap, vuv, ns
+        for k, p in enumerate(pulses):
+            vuvs[k], sizes[k] = p[2], p[4]
+        if dev:
+            los = np.zeros(cap, np.int32)
+            his = np.zeros(cap, np.int32)
+            ws = np.zeros(cap, self.dtype)
+            for k, p in enumerate(pulses):
+                los[k], his[k], ws[k] = p[6], p[7], p[8]
+            env_args = (jnp.asarray(los), jnp.asarray(his),
+                        jnp.asarray(ws))
+        else:
+            envs = np.ones((cap, fft // 2 + 1), self.dtype)
+            aps = np.ones((cap, fft // 2 + 1), self.dtype)
+            for k, p in enumerate(pulses):
+                envs[k], aps[k] = p[0], p[1]
+            env_args = (jnp.asarray(envs), jnp.asarray(aps))
 
         fast = False
         if self.rng_mode == "exact":
             offsets = np.zeros(cap, np.int64)
-            for k, (_, _, _, ref, ns, _) in enumerate(pulses):
-                offsets[k] = ref
+            for k, p in enumerate(pulses):
+                offsets[k] = p[3]
             draws = rng_ops.randn_blocks_at(jnp.asarray(offsets), fft)
             noise = jnp.asarray(draws, self.dtype)
         elif self.rng_mode == "fast":
             refs = np.zeros(cap, np.uint32)
-            for k, (_, _, _, ref, ns, _) in enumerate(pulses):
-                refs[k] = ref
+            for k, p in enumerate(pulses):
+                refs[k] = p[3]
             noise = (self._fast_key, jnp.asarray(refs))
             fast = True
         else:
             noise = jnp.zeros((cap, fft), self.dtype)
-        return (jnp.asarray(envs), jnp.asarray(aps), jnp.asarray(vuvs),
-                jnp.asarray(sizes), noise, fast)
+        return (env_args, jnp.asarray(vuvs), jnp.asarray(sizes), noise,
+                fast)
+
+    def _use_device_params(self, pulses):
+        """Device-ring dispatch is valid when every pulse's bracketing
+        frames are still resident (newer than R frames ago) and known
+        (warmup pulses carry lo=None)."""
+        if self._pbuf is None:
+            return False
+        oldest = self.cumulative_frame - self._pring + 1
+        return all(p[6] is not None and p[6] >= max(0, oldest)
+                   for p in pulses)
 
     def _render_dispatch(self, pulses):
         """Dispatch a batch of pulses (bucketed padding so only
@@ -794,11 +894,18 @@ class StreamingSynthesizer:
         cap = 1
         while cap < p:
             cap *= 2
-        envs, aps, vuvs, sizes, noise, fast = self._pulse_arrays(
-            pulses, cap)
-        handle = _response_batch(envs, aps, vuvs, noise, sizes,
-                                 self.dc_remover, fft_size=fft,
-                                 fast_noise=fast)
+        dev = self._use_device_params(pulses)
+        env_args, vuvs, sizes, noise, fast = self._pulse_arrays(
+            pulses, cap, dev)
+        if dev:
+            with self._plock:
+                handle = _response_batch_dev(
+                    self._pbuf, *env_args, vuvs, noise, sizes,
+                    self.dc_remover, fft_size=fft, fast_noise=fast)
+        else:
+            handle = _response_batch(*env_args, vuvs, noise, sizes,
+                                     self.dc_remover, fft_size=fft,
+                                     fast_noise=fast)
         return lambda: np.asarray(handle)[:p]
 
     _SPAN_MAX = _SPAN_BUCKETS[-1]
@@ -847,12 +954,22 @@ class StreamingSynthesizer:
                 loc = pl[5]
                 offs[k] = loc - fft // 2 + 1 - base
                 clips[k] = max(0, bs * (loc // bs) - (loc - fft // 2 + 1))
-            envs, aps, vuvs, sizes, noise, fast = self._pulse_arrays(
-                seg, cap)
-            handles.append((base, _span_batch(
-                envs, aps, vuvs, noise, sizes, self.dc_remover,
-                jnp.asarray(offs), jnp.asarray(clips),
-                fft_size=fft, span=span, fast_noise=fast)))
+            dev = self._use_device_params(seg)
+            env_args, vuvs, sizes, noise, fast = self._pulse_arrays(
+                seg, cap, dev)
+            if dev:
+                with self._plock:
+                    h = _span_batch_dev(
+                        self._pbuf, *env_args, vuvs, noise, sizes,
+                        self.dc_remover, jnp.asarray(offs),
+                        jnp.asarray(clips), fft_size=fft, span=span,
+                        fast_noise=fast)
+            else:
+                h = _span_batch(
+                    *env_args, vuvs, noise, sizes, self.dc_remover,
+                    jnp.asarray(offs), jnp.asarray(clips),
+                    fft_size=fft, span=span, fast_noise=fast)
+            handles.append((base, h))
         return lambda: ("span", [(b, np.asarray(h)) for b, h in handles])
 
     # -- span accumulator ------------------------------------------------
@@ -975,8 +1092,10 @@ class StreamingSynthesizer:
             if key not in self._resp_cache:
                 p = self._staged.get(key)
                 if p is None:
-                    env, ap, vuv = self._pulse_env(loc, ptr, ahead=True)
-                    p = self._staged[key] = (env, ap, vuv, ref, ns, loc)
+                    env, ap, vuv, lo, hi, w = self._pulse_env(
+                        loc, ptr, ahead=True)
+                    p = self._staged[key] = (env, ap, vuv, ref, ns, loc,
+                                             lo, hi, w)
                 params.append(p)
                 keys.append(key)
             ptr, i, ok = self._advance_at(ptr, i)
@@ -1009,7 +1128,7 @@ class StreamingSynthesizer:
             # coalesce them into a single (largest-bucket) call
             bid = self._worker.submit(
                 [("warmup", cap, k) for k in range(cap)],
-                [(env, apr, 0.0, 0, 0, None)] * cap)
+                [(env, apr, 0.0, 0, 0, None, None, 0, 0.0)] * cap)
             self._worker.wait(bid, scratch)
             cap *= 2
         if self.span_render:
@@ -1022,7 +1141,8 @@ class StreamingSynthesizer:
                                    m).astype(int)
                 bid = self._worker.submit(
                     [("warmup_span", span, k) for k in range(m)],
-                    [(env, apr, 0.0, 0, 0, int(lc)) for lc in locs])
+                    [(env, apr, 0.0, 0, 0, int(lc), None, 0, 0.0)
+                     for lc in locs])
                 self._worker.wait(bid, scratch)
         return self
 
@@ -1099,13 +1219,14 @@ class StreamingSynthesizer:
             at = (self.current_pointer, self.i)
             tmp = self._next_pulse_index()
             noise_size = tmp - current_location
-            env, ap, vuv = self._pulse_env(current_location, at[0])
+            env, ap, vuv, lo, hi, w = self._pulse_env(
+                current_location, at[0])
             ref = self._rng_ref(noise_size)
             key = (at[0], at[1], noise_size, ref)
             window.append((current_location, key))
             if key not in self._resp_cache:
                 to_render.append((env, ap, vuv, ref, noise_size,
-                                  current_location))
+                                  current_location, lo, hi, w))
                 render_keys.append(key)
             current_location = tmp
             self._consumed_since_walk += 1
