@@ -158,3 +158,70 @@ def test_window_slice_table_matches_vmap():
             lambda s: common.window_slice(x, s, max_len))(starts))
         got = np.asarray(common.window_slice_table(x, starts, max_len))
         np.testing.assert_array_equal(got, want)
+
+
+def test_window_slice_table_tiled_wide_windows():
+    """Windows wider than the 1024-sample slab tile read multiple
+    row-gathers; must stay bit-identical to vmap(window_slice)
+    (d4c at 48 kHz uses max_len 4096)."""
+    import jax
+
+    rs = np.random.default_rng(13)
+    x = jnp.asarray(rs.standard_normal(9000))
+    for max_len in (1024, 1500, 2048, 4096):
+        starts = jnp.asarray(np.concatenate([
+            np.arange(-max_len - 4, 12),
+            rs.integers(0, 9000, 24),
+            np.arange(9000 - max_len - 4, 9004),
+        ]).astype(np.int32))
+        want = np.asarray(jax.vmap(
+            lambda s: common.window_slice(x, s, max_len))(starts))
+        got = np.asarray(common.window_slice_table(x, starts, max_len))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_block_summaries_hierarchical_matches_flat():
+    """Wide frame blocks (B > 24, dio's 5 ms frames at the raw rate)
+    reduce 8-slot sub-blocks then merge; the merged last-3/first-4/
+    count summaries must be bit-identical to the flat unrolled
+    extraction (same crossings, same precedence)."""
+    from world_tpu.ops import zerocross
+
+    rs = np.random.default_rng(17)
+    for L, fp in ((5000, 111), (2600, 40), (2000, 25)):
+        x = jnp.asarray(np.cumsum(rs.standard_normal(L)) * 0.1
+                        + np.sin(np.arange(L) * 0.05))
+        frames = np.arange(0, L, fp)
+        bi, bm = zerocross.frame_block_layout(frames, L)
+        B = bi.shape[1]
+        assert B > 24  # hierarchical path
+        sums, n_pairs = zerocross.four_stream_block_summaries(
+            x, L, bi, bm)
+        # flat reference (the B <= 24 branch's exact algorithm)
+        big = 1e300
+        d = jnp.roll(x, -1) - x
+        streams = jnp.stack([x, -x, d, -d])
+        valids = np.array([L, L, L - 1, L - 1])
+        idx = jnp.arange(L)
+        s_next = jnp.roll(streams, -1, axis=-1)
+        is_edge = (streams > 0.0) & (s_next <= 0.0) \
+            & (idx[None, :] < jnp.asarray(valids)[:, None] - 1)
+        fine = (idx + 1).astype(x.dtype) - streams / (s_next - streams)
+        F = bi.shape[0]
+        blk_f = fine[:, bi.reshape(-1)].reshape(4, F, B)
+        blk_e = is_edge[:, bi.reshape(-1)].reshape(4, F, B) \
+            & jnp.asarray(bm)
+        l1 = l2 = l3 = jnp.full((4, F), -big)
+        for o in range(B):
+            v, e = blk_f[..., o], blk_e[..., o]
+            l1, l2, l3 = (jnp.where(e, v, l1), jnp.where(e, l1, l2),
+                          jnp.where(e, l2, l3))
+        f1 = f2 = f3 = f4 = jnp.full((4, F), big)
+        for o in range(B - 1, -1, -1):
+            v, e = blk_f[..., o], blk_e[..., o]
+            f1, f2, f3, f4 = (jnp.where(e, v, f1), jnp.where(e, f1, f2),
+                              jnp.where(e, f2, f3), jnp.where(e, f3, f4))
+        cnt = jnp.sum(blk_e, axis=-1).astype(x.dtype)
+        want = jnp.stack([l1, l2, l3, f1, f2, f3, f4, cnt,
+                          blk_f[..., 0], blk_e[..., 0].astype(x.dtype)])
+        np.testing.assert_array_equal(np.asarray(sums), np.asarray(want))
