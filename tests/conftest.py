@@ -47,3 +47,23 @@ class Goldens:
 @pytest.fixture(scope="session")
 def gold():
     return Goldens(GOLDEN_DIR)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _reclaim_process_resources():
+    """Long single-process suite runs deterministically segfault inside
+    an XLA compile around the ~100th test (LLVM/XLA native crash in
+    backend_compile_and_load on a render-worker thread; reproduced at
+    the same test across three runs, never standalone).  Reclaiming
+    per-module keeps the process below whatever native resource the
+    compiler exhausts: stop leaked streaming workers (tests that don't
+    close() pin 5 daemon threads + their synthesizer each) and drop
+    compiled-executable caches."""
+    yield
+    import gc
+
+    from world_tpu.models.realtime import _live_workers
+    for w in list(_live_workers):
+        w.shutdown()
+    gc.collect()
+    jax.clear_caches()

@@ -423,9 +423,29 @@ def test_streaming_span_render_float32(gold):
 def test_streaming_device_params_matches_host(gold):
     """Device-resident parameter rows (ring-buffer lerp on device) must
     produce the same audio as host-computed envelopes: identical
-    arithmetic, different executor, so near-machine agreement."""
-    out_dev = _run_all_at_once(gold)           # device_params default on
+    arithmetic, different executor, so near-machine agreement.
+    device_params defaults to float32-only (the 'auto' gate), so it is
+    forced on for this f64 fixture."""
     fs = gold.scalar("fs")
+    f0d = gold["harvest_f0"]
+    spd = gold["cheaptrick_sp"]
+    apd = gold["d4c_ap"]
+    y_len = gold["synthesis2_y"].shape[0]
+    sd = StreamingSynthesizer(fs, 5.0, gold.scalar("fft_size"), 64, 1,
+                              device_params=True)
+    assert sd._pring is not None
+    out_dev = np.zeros(y_len)
+    idx = 0
+    j = 0
+    while j < len(f0d):
+        if sd.add_parameters(f0d[j:], spd[j:], apd[j:]):
+            j = len(f0d)
+        while sd.synthesis2():
+            take = min(64, y_len - idx)
+            if take > 0:
+                out_dev[idx: idx + take] = sd.buffer[:take]
+            idx += 64
+    sd.close()
     f0 = gold["harvest_f0"]
     sp = gold["cheaptrick_sp"]
     ap = gold["d4c_ap"]
@@ -462,7 +482,8 @@ def test_streaming_device_params_ring_wrap(gold):
     ref = gold["synthesis3_y"]
     y_length = ref.shape[0]
     synth = StreamingSynthesizer(fs, 5.0, gold.scalar("fft_size"), 64,
-                                 100, param_ring_rows=64)
+                                 100, device_params=True,
+                                 param_ring_rows=64)
     out = np.zeros(y_length)
     index = 0
     for i in range(len(f0)):

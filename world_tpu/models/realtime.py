@@ -266,16 +266,30 @@ class _RenderWorker:
         """Main thread: enqueue a render; returns its batch id."""
         if self._thread is None or not self._thread.is_alive():
             _live_workers.add(self)  # re-register after a shutdown()
-            self._thread = threading.Thread(
-                target=self._loop, daemon=True,
-                name="world-tpu-render-worker")
-            self._thread.start()
-            for i in range(self._N_FETCHERS):
-                t = threading.Thread(
-                    target=self._fetch_loop, daemon=True,
-                    name=f"world-tpu-render-fetch-{i}")
-                t.start()
-                self._fetchers.append(t)
+            # The dispatch thread runs XLA COMPILES (first use of a
+            # render bucket); LLVM's recursive passes can blow through
+            # the 8 MB default thread stack (observed: segfault inside
+            # backend_compile_and_load on this thread in long test
+            # sessions) — give these threads a deep stack.
+            old_stack = threading.stack_size()
+            try:
+                threading.stack_size(64 * 1024 * 1024)
+            except (ValueError, RuntimeError):  # platform refuses: keep
+                old_stack = None
+            try:
+                self._thread = threading.Thread(
+                    target=self._loop, daemon=True,
+                    name="world-tpu-render-worker")
+                self._thread.start()
+                for i in range(self._N_FETCHERS):
+                    t = threading.Thread(
+                        target=self._fetch_loop, daemon=True,
+                        name=f"world-tpu-render-fetch-{i}")
+                    t.start()
+                    self._fetchers.append(t)
+            finally:
+                if old_stack is not None:
+                    threading.stack_size(old_stack)
         bid = self._next_id
         self._next_id += 1
         self._requests.put((bid, keys, pulses))
@@ -433,7 +447,7 @@ class StreamingSynthesizer:
                  lookahead_pulses=256, hold_on_miss=False,
                  dispatch_min_pulses=None, hold_force_ms=15.0,
                  span_render=True, span_min_pulses=8,
-                 device_params=True, param_ring_rows=4096):
+                 device_params="auto", param_ring_rows=4096):
         self.fs = fs
         self.frame_period = frame_period / 1000.0
         self.fft_size = fft_size
@@ -501,9 +515,14 @@ class StreamingSynthesizer:
         # (cap, fft/2+1) envelope arrays (~1 MB and 30-100 ms of
         # tunnel time per bulk render).  Batches referencing frames
         # older than R fall back to host envelopes transparently.
+        # "auto" = float32 only (the TPU production path): the ring is
+        # ~17 MB (f32), and a synthesizer that is never close()d stays
+        # pinned by its worker threads — f64 oracle runs (tests) would
+        # pay 34 MB per leaked instance for no tunnel to save.
+        if device_params == "auto":
+            device_params = np.dtype(dtype) == np.float32
         self._pring = max(64, param_ring_rows) if device_params else None
-        self._pbuf = (jnp.zeros((2, self._pring, fft_size // 2 + 1),
-                                dtype) if device_params else None)
+        self._pbuf = None  # allocated lazily on first add_parameters
         self._plock = threading.Lock()
         # Late binding so a subclass/monkeypatched _render_dispatch is
         # honored even when swapped in after construction.
@@ -570,6 +589,7 @@ class StreamingSynthesizer:
         synthesizer's 5 daemon threads, and through them the
         synthesizer itself, stay pinned until interpreter exit."""
         self._worker.shutdown()
+        self._pbuf = None  # free the parameter ring promptly
 
     def __enter__(self):
         return self
@@ -599,11 +619,15 @@ class StreamingSynthesizer:
         chunk.spectrogram = np.asarray(spectrogram, self.dtype)
         chunk.aperiodicity = np.asarray(aperiodicity, self.dtype)
         self.chunks[self.head_pointer] = chunk
-        if self._pbuf is not None:
+        if self._pring is not None:
             rows = np.stack([np.abs(chunk.spectrogram),
                              np.clip(chunk.aperiodicity, 0.001,
                                      1.0 - 1e-12)]).astype(self.dtype)
             with self._plock:
+                if self._pbuf is None:
+                    self._pbuf = jnp.zeros(
+                        (2, self._pring, self.fft_size // 2 + 1),
+                        self.dtype)
                 self._pbuf = _ring_store(self._pbuf, jnp.asarray(rows),
                                          chunk.f0_origin)
 
