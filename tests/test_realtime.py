@@ -472,9 +472,11 @@ def test_streaming_device_params_matches_host(gold):
 
 
 def test_streaming_device_params_ring_wrap(gold):
-    """A parameter ring smaller than the stream forces wraparound and
-    (for pulses referencing evicted rows) the host fallback — audio
-    must stay correct through both."""
+    """A parameter ring smaller than the stream forces wraparound (and
+    the host fallback for any pulse referencing evicted rows) — audio
+    must stay correct through both.  Chunks of 10 frames exceed
+    _pstore_min so they really upload; ring_rows=64 wraps every ~6
+    chunks."""
     fs = gold.scalar("fs")
     f0 = gold["harvest_f0"]
     sp = gold["cheaptrick_sp"]
@@ -486,14 +488,16 @@ def test_streaming_device_params_ring_wrap(gold):
                                  param_ring_rows=64)
     out = np.zeros(y_length)
     index = 0
-    for i in range(len(f0)):
-        assert synth.add_parameters(f0[i: i + 1], sp[i: i + 1],
-                                    ap[i: i + 1])
+    step = 10
+    for i in range(0, len(f0), step):
+        assert synth.add_parameters(f0[i: i + step], sp[i: i + step],
+                                    ap[i: i + step])
         while synth.synthesis2():
             take = min(64, y_length - index)
             if take > 0:
                 out[index: index + take] = synth.buffer[:take]
             index += 64
+    assert synth._pstored_through > 64  # the ring really wrapped
     synth.close()
     s = snr_db(ref[np.abs(ref) > 0], out[np.abs(ref) > 0])
     assert s > 80.0, s

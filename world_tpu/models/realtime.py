@@ -522,8 +522,18 @@ class StreamingSynthesizer:
         if device_params == "auto":
             device_params = np.dtype(dtype) == np.float32
         self._pring = max(64, param_ring_rows) if device_params else None
-        self._pbuf = None  # allocated lazily on first add_parameters
+        self._pbuf = None  # allocated lazily on first bulk chunk
         self._plock = threading.Lock()
+        # Only chunks of >= this many frames upload to the ring: a ring
+        # store is a device dispatch (~27 ms on the tunnel), so storing
+        # every 1-frame AddParameters would serialize the parameter
+        # feed behind a donation chain (measured: frame-feed collapsed
+        # to 0.2x RT).  Frame-by-frame streams keep the host-envelope
+        # path (their per-render uploads are tiny anyway); bulk feeds
+        # get the ring.  _pstored_through tracks contiguous stored
+        # coverage so renders never read rows that were skipped.
+        self._pstore_min = 8
+        self._pstored_through = -1
         # Late binding so a subclass/monkeypatched _render_dispatch is
         # honored even when swapped in after construction.
         self._worker = _RenderWorker(
@@ -553,6 +563,7 @@ class StreamingSynthesizer:
         self._fast_key = jax.random.PRNGKey(3)
         self._fast_step = 0
         self._resp_cache = {}
+        self._pstored_through = -1  # ring coverage restarts with frames
         # Span accumulator: landed device-OLA waveform spans, covering
         # samples [_acc_start, _acc_start + len(_acc)).  Emission adds
         # _acc's slice for the finished window into self.buffer.
@@ -619,7 +630,8 @@ class StreamingSynthesizer:
         chunk.spectrogram = np.asarray(spectrogram, self.dtype)
         chunk.aperiodicity = np.asarray(aperiodicity, self.dtype)
         self.chunks[self.head_pointer] = chunk
-        if self._pring is not None:
+        if self._pring is not None \
+                and chunk.f0_length >= self._pstore_min:
             rows = np.stack([np.abs(chunk.spectrogram),
                              np.clip(chunk.aperiodicity, 0.001,
                                      1.0 - 1e-12)]).astype(self.dtype)
@@ -630,6 +642,10 @@ class StreamingSynthesizer:
                         self.dtype)
                 self._pbuf = _ring_store(self._pbuf, jnp.asarray(rows),
                                          chunk.f0_origin)
+                if chunk.f0_origin <= self._pstored_through + 1:
+                    self._pstored_through = max(
+                        self._pstored_through,
+                        chunk.f0_origin + chunk.f0_length - 1)
 
         if self.cumulative_frame < 1:
             self.handoff_f0 = f0[-1]
@@ -891,12 +907,15 @@ class StreamingSynthesizer:
 
     def _use_device_params(self, pulses):
         """Device-ring dispatch is valid when every pulse's bracketing
-        frames are still resident (newer than R frames ago) and known
-        (warmup pulses carry lo=None)."""
+        frames were actually stored (contiguously, up to
+        _pstored_through — small chunks skip the ring) and are still
+        resident (newer than R frames ago); warmup pulses carry
+        lo=None and always take the host path."""
         if self._pbuf is None:
             return False
         oldest = self.cumulative_frame - self._pring + 1
         return all(p[6] is not None and p[6] >= max(0, oldest)
+                   and p[7] <= self._pstored_through
                    for p in pulses)
 
     def _render_dispatch(self, pulses):
