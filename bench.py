@@ -52,10 +52,34 @@ def _timed(step, tail, make_input, iters=ITERS):
     return float(np.median(times))
 
 
+def _wait_for_backend(retries=8, pause_s=75):
+    """The remote TPU tunnel has outages (backend init hangs or raises
+    UNAVAILABLE for minutes at a time — observed 2026-08-21).  Probe in
+    a subprocess (a hung init cannot be cancelled in-process) and retry
+    for ~10 minutes before giving up so a transient outage doesn't cost
+    the benchmark artifact."""
+    import subprocess
+    import sys
+    for attempt in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=240 if attempt else 420)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass  # hung init == outage; the probe child was killed
+        print(f"# TPU backend unavailable (attempt {attempt + 1}/"
+              f"{retries}); retrying in {pause_s}s", file=sys.stderr)
+        time.sleep(pause_s)
+    raise RuntimeError("TPU backend unavailable after retries")
+
+
 def main(sections=None):
     """Run the benchmark; ``sections`` (a set) restricts to a subset of
     {"pipeline", "stages", "48k", "longform", "corpus", "streaming"} for quick
     re-measurement of one block (None = all, the driver contract)."""
+    _wait_for_backend()
     import jax
     import jax.numpy as jnp
 
